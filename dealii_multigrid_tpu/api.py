@@ -1,0 +1,281 @@
+"""Solver assembly layer: build multigrid hierarchies and run benchmarked solves.
+
+Capability mirror of the reference's L5 layer — run() /
+solve_with_global_coarsening / solve_with_amg / mg_solve
+(reference: multigrid_throughput.cc:817-2396) — re-shaped for TPU: every level
+is a set of static device arrays; the whole preconditioned CG solve is one
+jitted XLA computation; timing fences use block_until_ready instead of
+MPI_Barrier.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .mesh import generators
+from .mesh.coarsening import (
+    geometric_coarsening_sequence,
+    polynomial_coarsening_sequence,
+)
+from .mesh.dof import Constraints, DoFHandler, distribute_dofs, make_hanging_node_constraints
+from .mesh.octree import AdaptiveMesh
+from .models import poisson
+from .ops.operator import LaplaceOperator, compute_diagonal, make_operator
+from .ops.transfer import TwoLevelTransfer, make_two_level_transfer
+from .solvers.cg import cg_solve
+from .solvers.chebyshev import ChebyshevSmoother
+from .solvers.coarse import make_coarse_solver
+from .solvers.multigrid import Multigrid, PreconditionMG
+from .utils.params import MultigridParameters, RunParameters
+
+_DTYPES = {
+    "float": jnp.float32,
+    "double": jnp.float64,
+    "bfloat16": jnp.bfloat16,
+}
+
+
+def number_dtype(name: str):
+    return _DTYPES[name]
+
+
+@dataclass
+class LevelContext:
+    """One multigrid level: mesh + degree + operator + smoother data."""
+
+    mesh: AdaptiveMesh
+    degree: int
+    dofh: DoFHandler
+    hanging: Constraints
+    op: LaplaceOperator
+    inv_diag: jax.Array
+
+
+def build_level(mesh: AdaptiveMesh, degree: int, dtype) -> LevelContext:
+    dofh = distribute_dofs(mesh, degree)
+    hanging = make_hanging_node_constraints(dofh)
+    op = make_operator(dofh, hanging, dtype=dtype)
+    inv_diag = jnp.asarray(1.0 / compute_diagonal(dofh, hanging), dtype=dtype)
+    return LevelContext(mesh, degree, dofh, hanging, op, inv_diag)
+
+
+def gc_level_plan(
+    mg_type: str,
+    tri_sequence: list[AdaptiveMesh],
+    degree_fine: int,
+) -> list[tuple[AdaptiveMesh, int]]:
+    """(mesh, degree) per level, coarsest first — the reference's per-level
+    tria/degree selection (multigrid_throughput.cc:1546-1576)."""
+    degrees = polynomial_coarsening_sequence(degree_fine, "bisect")
+    n_tria = len(tri_sequence)
+    if mg_type == "PMG":
+        return [(tri_sequence[-1], d) for d in degrees]
+    if mg_type == "HMG-global":
+        return [(t, degree_fine) for t in tri_sequence]
+    if mg_type == "HPMG":
+        n_levels = len(degrees) + n_tria - 1
+        plan = []
+        for l in range(n_levels):
+            tria = tri_sequence[min(l, n_tria - 1)]
+            degree = degrees[max(0, l - n_tria + 1)]
+            plan.append((tria, degree))
+        return plan
+    raise ValueError(f"unknown global-coarsening type {mg_type!r}")
+
+
+@dataclass
+class MGSolveResult:
+    x: jax.Array
+    n_iterations: int
+    converged: bool
+    time: float
+    time_per_rep: list
+    throughput: float
+    n_dofs: int
+    n_levels: int
+    residual_norm: float
+
+
+def build_gc_preconditioner(
+    levels: list[LevelContext],
+    mg_data: MultigridParameters,
+    outer_dtype,
+    level_dtype,
+) -> tuple[Multigrid, list[TwoLevelTransfer]]:
+    transfers: list = [None]
+    for l in range(1, len(levels)):
+        transfers.append(
+            make_two_level_transfer(
+                levels[l].dofh,
+                levels[l - 1].dofh,
+                levels[l].op,
+                levels[l - 1].op,
+                dtype=level_dtype,
+            )
+        )
+    smoothers: list = [None]
+    for l in range(1, len(levels)):
+        smoothers.append(
+            ChebyshevSmoother.create(
+                levels[l].op.vmult,
+                levels[l].inv_diag,
+                degree=mg_data.smoother.degree,
+                smoothing_range=mg_data.smoother.smoothing_range,
+                eig_cg_n_iterations=mg_data.smoother.eig_cg_n_iterations,
+            )
+        )
+    coarse = make_coarse_solver(
+        mg_data.coarse_solver.type,
+        levels[0].op,
+        levels[0].dofh,
+        levels[0].hanging,
+        inv_diag=levels[0].inv_diag,
+        mg_data=mg_data,
+        dtype=level_dtype,
+    )
+    mg = Multigrid(
+        operators=[lv.op for lv in levels],
+        smoothers=smoothers,
+        transfers=transfers,
+        coarse_solve=coarse,
+        n_cycles=1,
+    )
+    return mg, transfers
+
+
+def mg_solve(
+    fine_op: LaplaceOperator,
+    rhs: jax.Array,
+    preconditioner,
+    mg_data: MultigridParameters,
+    n_levels: int,
+    warmup: bool = True,
+) -> MGSolveResult:
+    """Warm-up solve + best-of-n_repetitions timed CG, the reference's
+    benchmark protocol (multigrid_throughput.cc:1140-1268)."""
+    ctrl = (
+        mg_data.cg_parameter_study if mg_data.do_parameter_study else mg_data.cg_normal
+    )
+
+    @jax.jit
+    def solve(b):
+        return cg_solve(
+            fine_op.vmult,
+            b,
+            preconditioner=preconditioner.vmult,
+            maxiter=ctrl.maxiter,
+            abstol=ctrl.abstol,
+            reltol=ctrl.reltol,
+            force_iterations=(
+                mg_data.cg_parameter_study.maxiter
+                if mg_data.do_parameter_study
+                else None
+            ),
+        )
+
+    res = jax.block_until_ready(solve(rhs))  # warm-up (compile + run)
+    times = []
+    reps = mg_data.n_repetitions if warmup else 1
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        res = jax.block_until_ready(solve(rhs))
+        times.append(time.perf_counter() - t0)
+    best = min(times)
+    n_it = int(res.n_iterations)
+    n_dofs = rhs.shape[0]
+    return MGSolveResult(
+        x=res.x,
+        n_iterations=n_it,
+        converged=bool(res.converged),
+        time=best,
+        time_per_rep=times,
+        throughput=n_dofs * n_it / best if best > 0 else 0.0,
+        n_dofs=n_dofs,
+        n_levels=n_levels,
+        residual_norm=float(res.residual_norm),
+    )
+
+
+def solve_with_global_coarsening(
+    params: RunParameters,
+    fine_mesh: AdaptiveMesh,
+    fine_level: LevelContext | None = None,
+):
+    """End-to-end PMG / HMG-global / HPMG solve (reference:
+    multigrid_throughput.cc:1443-1666).  Returns (result, problem, levels)."""
+    outer_dtype = number_dtype(params.number_type)
+    level_dtype = number_dtype(params.mg_number_type)
+
+    tri_seq = geometric_coarsening_sequence(
+        fine_mesh, params.min_level, params.min_n_cells
+    )
+    plan = gc_level_plan(params.type, tri_seq, params.fe_degree_fine)
+
+    levels = []
+    for mesh, degree in plan:
+        if (
+            fine_level is not None
+            and mesh is plan[-1][0]
+            and degree == params.fe_degree_fine
+            and level_dtype == outer_dtype
+        ):
+            levels.append(fine_level)
+        else:
+            levels.append(build_level(mesh, degree, level_dtype))
+
+    # outer (Number-precision) fine operator + problem
+    if fine_level is not None and level_dtype == outer_dtype:
+        fine = fine_level
+    else:
+        fine = build_level(plan[-1][0], params.fe_degree_fine, outer_dtype)
+    problem = poisson.make_problem(
+        fine.dofh, fine.hanging, fine.op, params.simulation_type
+    )
+
+    mg, _ = build_gc_preconditioner(
+        levels, params.mg_data, outer_dtype, level_dtype
+    )
+    precond = PreconditionMG(mg, outer_dtype)
+    result = mg_solve(
+        fine.op, problem.rhs, precond, params.mg_data, n_levels=len(levels)
+    )
+    return result, problem, levels
+
+
+def solve_with_amg(params: RunParameters, fine_mesh: AdaptiveMesh):
+    """Single-level solve with an algebraic preconditioner (reference:
+    solve_with_amg, multigrid_throughput.cc:1877-1966).  Here: CG
+    preconditioned by the direct/algebraic coarse solver on the fine level."""
+    outer_dtype = number_dtype(params.number_type)
+    fine = build_level(fine_mesh, params.fe_degree_fine, outer_dtype)
+    problem = poisson.make_problem(
+        fine.dofh, fine.hanging, fine.op, params.simulation_type
+    )
+    solver = make_coarse_solver(
+        "amg", fine.op, fine.dofh, fine.hanging, dtype=outer_dtype
+    )
+
+    class _P:
+        vmult = staticmethod(solver)
+
+    result = mg_solve(fine.op, problem.rhs, _P, params.mg_data, n_levels=1)
+    return result, problem, [fine]
+
+
+def run(params: RunParameters):
+    """Reference run<dim,...>() equivalent: build mesh, dispatch solver
+    (multigrid_throughput.cc:2019-2396)."""
+    mesh = generators.create(
+        params.geometry_type, params.dim, params.n_ref_global, params.n_ref_local
+    )
+    if params.type in ("PMG", "HMG-global", "HPMG"):
+        return solve_with_global_coarsening(params, mesh)
+    if params.type in ("AMG", "AMGPETSc"):
+        return solve_with_amg(params, mesh)
+    raise NotImplementedError(f"solver type {params.type!r} not yet implemented")

@@ -1,0 +1,153 @@
+"""Poisson model problems: analytic solutions, RHS assembly, error norms.
+
+Mirrors the reference's simulation types (multigrid_throughput.cc:2286-2303):
+  * "Constant": f = 1, homogeneous Dirichlet BC.
+  * "Gaussian": manufactured Gaussian solution with source centre
+    (-0.5, ..., -0.5) and width 0.1 (multigrid_throughput.cc:60-127) —
+    inhomogeneous Dirichlet BC, used for convergence validation.
+
+RHS assembly follows Operator::rhs (reference: include/operator.h:362-447):
+cell-quadrature integration of f*phi, then the Dirichlet inhomogeneity lift
+b -= A x0 with constraint distribution, then zeroing of constrained entries.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..mesh.dof import Constraints, DoFHandler
+from ..ops import element
+from ..ops.operator import LaplaceOperator, distribute
+
+
+def gaussian_solution(x: jax.Array, center=None, width: float = 0.1) -> jax.Array:
+    """Reference GaussianSolution::value (multigrid_throughput.cc:60-89)."""
+    dim = x.shape[-1]
+    if center is None:
+        center = jnp.full((dim,), -0.5, x.dtype)
+    d2 = jnp.sum((x - center) ** 2, axis=-1)
+    norm = (jnp.sqrt(2.0 * jnp.pi) * width) ** dim
+    return jnp.exp(-d2 / (width * width)) / norm
+
+
+def gaussian_rhs(x: jax.Array, center=None, width: float = 0.1) -> jax.Array:
+    """Reference GaussianRightHandSide::value (= -laplacian of the solution,
+    multigrid_throughput.cc:92-127)."""
+    dim = x.shape[-1]
+    if center is None:
+        center = jnp.full((dim,), -0.5, x.dtype)
+    d2 = jnp.sum((x - center) ** 2, axis=-1)
+    w2 = width * width
+    norm = (jnp.sqrt(2.0 * jnp.pi) * width) ** dim
+    return ((2 * dim - 4 * d2 / w2) / w2) * jnp.exp(-d2 / w2) / norm
+
+
+def constant_rhs(x: jax.Array) -> jax.Array:
+    return jnp.ones(x.shape[:-1], x.dtype)
+
+
+def zero_fn(x: jax.Array) -> jax.Array:
+    return jnp.zeros(x.shape[:-1], x.dtype)
+
+
+@dataclass
+class PoissonProblem:
+    """A fully assembled Poisson problem on one DoFHandler."""
+
+    dofh: DoFHandler
+    op: LaplaceOperator
+    rhs: jax.Array          # constrained system RHS (zeros on constrained DoFs)
+    lift: jax.Array         # x0: Dirichlet inhomogeneity, hanging-distributed
+    exact_fn: Callable | None
+
+    def full_solution(self, u_hom: jax.Array) -> jax.Array:
+        """Physical solution: distribute hanging nodes over (u + lift)."""
+        return distribute(u_hom + self.lift, self.op.hanging)
+
+
+def _cell_quadrature(dofh: DoFHandler):
+    """(points [nc, nq, dim], jxw [nc, nq], B3 [nq, nloc]) on the host."""
+    mesh, dim, p = dofh.mesh, dofh.dim, dofh.degree
+    B3, qp, qw = element.quadrature_tables(dim, p)
+    size = 1.0 / (1 << mesh.level.astype(np.int64))
+    lo = mesh.lower + (mesh.upper - mesh.lower) * mesh.anchor * size[:, None]
+    h = mesh.h(mesh.level)
+    pts = lo[:, None, :] + h[:, None, None] * qp[None, :, :]
+    jxw = (h[:, None] ** dim) * qw[None, :]
+    return pts, jxw, B3
+
+
+def assemble_problem(
+    dofh: DoFHandler,
+    hanging: Constraints,
+    op: LaplaceOperator,
+    rhs_fn: Callable,
+    bc_fn: Callable,
+    exact_fn: Callable | None = None,
+) -> PoissonProblem:
+    """Assemble RHS + inhomogeneity lift (reference: operator.h:362-447)."""
+    dtype = op.dtype
+    pts, jxw, B3 = _cell_quadrature(dofh)
+    pts_d = jnp.asarray(pts, dtype)
+    jxw_d = jnp.asarray(jxw, dtype)
+    B3_d = jnp.asarray(B3, dtype)
+
+    @jax.jit
+    def build():
+        # raw cell integrals of f * phi
+        fq = rhs_fn(pts_d) * jxw_d                       # [nc, nq]
+        b_cell = fq @ B3_d                                # [nc, nloc]
+        F = jnp.zeros(dofh.n_dofs, dtype)
+        F = F.at[op.cell_dofs.reshape(-1)].add(b_cell.reshape(-1))
+        # Dirichlet lift: x0 interpolates g on the boundary, then hanging
+        # distribution makes it a conforming FE function.
+        x0 = jnp.zeros(dofh.n_dofs, dtype)
+        bpts = jnp.asarray(dofh.points, dtype)[op.dirichlet]
+        x0 = x0.at[op.dirichlet].set(bc_fn(bpts))
+        x0 = distribute(x0, op.hanging)
+        # constrained RHS: C^T (F - A_raw x0), zero on constrained DoFs
+        b = op.apply_ct(F - op.cell_apply_raw(x0))
+        b = b.at[op.constrained].set(0)
+        return b, x0
+
+    b, x0 = build()
+    return PoissonProblem(dofh, op, b, x0, exact_fn)
+
+
+def l2_error(problem: PoissonProblem, u_full: jax.Array) -> jax.Array:
+    """Quadrature L2 norm of (u_h - u_exact) over the mesh."""
+    dofh, op = problem.dofh, problem.op
+    pts, jxw, B3 = _cell_quadrature(dofh)
+    dtype = u_full.dtype
+    pts_d = jnp.asarray(pts, dtype)
+    jxw_d = jnp.asarray(jxw, dtype)
+    B3_d = jnp.asarray(B3, dtype)
+
+    @jax.jit
+    def err(u):
+        uq = u[op.cell_dofs] @ B3_d.T                     # [nc, nq]
+        eq = uq - problem.exact_fn(pts_d)
+        return jnp.sqrt(jnp.sum(eq * eq * jxw_d))
+
+    return err(u_full)
+
+
+def make_problem(
+    dofh: DoFHandler,
+    hanging: Constraints,
+    op: LaplaceOperator,
+    simulation_type: str = "Constant",
+) -> PoissonProblem:
+    """Dispatch by SimulationType config key (multigrid_throughput.cc:2286-2303)."""
+    if simulation_type == "Constant":
+        return assemble_problem(dofh, hanging, op, constant_rhs, zero_fn, None)
+    if simulation_type == "Gaussian":
+        return assemble_problem(
+            dofh, hanging, op, gaussian_rhs, gaussian_solution, gaussian_solution
+        )
+    raise ValueError(f"unknown SimulationType {simulation_type!r}")

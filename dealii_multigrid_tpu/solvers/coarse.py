@@ -1,0 +1,134 @@
+"""Coarse-grid solvers for the multigrid hierarchy.
+
+Mirrors the reference's five coarse-solver variants
+(multigrid_throughput.cc:909-1077):
+  * "cg"                — CG with identity preconditioner
+  * "cg_with_chebyshev" — CG preconditioned by Chebyshev-Jacobi
+  * "cg_with_amg"       — CG preconditioned by the algebraic coarse solver
+  * "amg"               — algebraic coarse solve, n_cycles applications
+  * "amg_petsc"         — second algebraic flavour (alias here)
+
+TPU-first note: the reference's Trilinos-ML / BoomerAMG coarse solves are
+host-library black boxes.  On TPU the idiomatic replacement for the (small,
+truncated) coarsest problem is a dense Cholesky factorisation computed once at
+setup and applied as two triangular solves on device — exact, so CG iteration
+counts are at least as good as the reference's 2-cycle AMG coarse solve.  A
+native smoothed-aggregation AMG (for very large coarse problems) plugs into
+the same interface.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import scipy.sparse as sp
+
+from ..mesh.dof import Constraints, DoFHandler
+from ..ops import element
+from ..ops.operator import LaplaceOperator, split_boundary_constraints
+from .cg import cg_solve
+from .chebyshev import ChebyshevSmoother
+
+
+def assemble_sparse_matrix(
+    dofh: DoFHandler, hanging: Constraints
+) -> sp.csr_matrix:
+    """Host-side assembly of the constrained system matrix C^T B C + I_c
+    (capability mirror of Operator::get_trilinos_system_matrix,
+    reference include/operator.h:244-287)."""
+    mesh, dim, p = dofh.mesh, dofh.dim, dofh.degree
+    elem = element.laplace_element_matrix(dim, p)
+    scale = mesh.h(mesh.level).astype(np.float64) ** (dim - 2)
+    nloc = dofh.n_loc
+    n = dofh.n_dofs
+    rows = np.repeat(dofh.cell_dofs.astype(np.int64), nloc, axis=1).reshape(-1)
+    cols = np.tile(dofh.cell_dofs.astype(np.int64), (1, nloc)).reshape(-1)
+    vals = (scale[:, None, None] * elem[None]).reshape(-1)
+    B = sp.csr_matrix((vals, (rows, cols)), shape=(n, n))
+
+    hang, dirichlet = split_boundary_constraints(dofh, hanging)
+    constrained = np.zeros(n, dtype=bool)
+    constrained[dirichlet] = True
+    constrained[hang.slave] = True
+    free = ~constrained
+    diag_free = sp.diags(free.astype(np.float64))
+    C = diag_free.tocsr()
+    if len(hang.slave):
+        m = hang.masters.reshape(-1)
+        w = hang.weights.reshape(-1)
+        r = np.repeat(hang.slave, hang.masters.shape[1])
+        nz = (w != 0) & ~constrained[m]
+        C = C + sp.csr_matrix((w[nz], (r[nz], m[nz])), shape=(n, n))
+    A = (C.T @ B @ C).tocsr()
+    Ic = sp.diags(constrained.astype(np.float64))
+    return (A + Ic).tocsr()
+
+
+def make_direct_coarse_solver(
+    dofh: DoFHandler, hanging: Constraints, dtype=jnp.float32
+) -> Callable:
+    """Dense Cholesky coarse solver (setup on host, apply on device)."""
+    A = assemble_sparse_matrix(dofh, hanging).toarray()
+    Lnp = np.linalg.cholesky(A)
+    L = jnp.asarray(Lnp, dtype=jnp.float32 if dtype == jnp.bfloat16 else dtype)
+
+    def solve(b: jax.Array) -> jax.Array:
+        bb = b.astype(L.dtype)
+        y = jax.scipy.linalg.solve_triangular(L, bb, lower=True)
+        x = jax.scipy.linalg.solve_triangular(L.T, y, lower=False)
+        return x.astype(b.dtype)
+
+    return solve
+
+
+def make_cg_coarse_solver(
+    op: LaplaceOperator,
+    preconditioner: Callable | None = None,
+    maxiter: int = 10000,
+    abstol: float = 1e-20,
+    reltol: float = 1e-4,
+) -> Callable:
+    def solve(b: jax.Array) -> jax.Array:
+        return cg_solve(
+            op.vmult, b, preconditioner=preconditioner,
+            maxiter=maxiter, abstol=abstol, reltol=reltol,
+        ).x
+
+    return solve
+
+
+def make_coarse_solver(
+    kind: str,
+    op: LaplaceOperator,
+    dofh: DoFHandler,
+    hanging: Constraints,
+    inv_diag: jax.Array | None = None,
+    mg_data=None,
+    dtype=jnp.float32,
+) -> Callable:
+    """Dispatch on CoarseGridSolverType (reference: multigrid_throughput.cc:909-1077)."""
+    maxiter = 10000 if mg_data is None else mg_data.coarse_solver.maxiter
+    abstol = 1e-20 if mg_data is None else mg_data.coarse_solver.abstol
+    reltol = 1e-4 if mg_data is None else mg_data.coarse_solver.reltol
+    if kind == "cg":
+        return make_cg_coarse_solver(op, None, maxiter, abstol, reltol)
+    if kind == "cg_with_chebyshev":
+        smoother = ChebyshevSmoother.create(
+            op.vmult,
+            inv_diag,
+            degree=mg_data.smoother.degree if mg_data else 5,
+            smoothing_range=mg_data.smoother.smoothing_range if mg_data else 20.0,
+            eig_cg_n_iterations=(
+                mg_data.smoother.eig_cg_n_iterations if mg_data else 20
+            ),
+        )
+        return make_cg_coarse_solver(op, smoother.vmult, maxiter, abstol, reltol)
+    if kind in ("amg", "amg_petsc", "direct"):
+        return make_direct_coarse_solver(dofh, hanging, dtype)
+    if kind == "cg_with_amg":
+        direct = make_direct_coarse_solver(dofh, hanging, dtype)
+        return make_cg_coarse_solver(op, direct, maxiter, abstol, reltol)
+    raise ValueError(f"unknown coarse solver type {kind!r}")
