@@ -1,0 +1,76 @@
+"""Benchmark driver CLI: `python -m dealii_multigrid_tpu.cli input_*.json`.
+
+Mirror of the reference executable's main() (multigrid_throughput.cc:2398-2470):
+parse each JSON parameter file, run it, append one row to a cumulative
+ConvergenceTable printed after every run.
+"""
+
+from __future__ import annotations
+
+import sys
+
+from . import api
+from .mesh import generators
+from .models import poisson
+from .parallel import metrics
+from .utils.params import RunParameters
+from .utils.table import ConvergenceTable
+
+
+def run_config(params: RunParameters, table: ConvergenceTable) -> None:
+    mesh = generators.create(
+        params.geometry_type, params.dim, params.n_ref_global, params.n_ref_local
+    )
+    table.new_row()
+    table.add_value("dim", params.dim)
+    table.add_value("type", params.type)
+    table.add_value("geometry", params.geometry_type)
+    table.add_value("n_cells", mesh.n_cells)
+    table.add_value("degree", params.fe_degree_fine)
+    table.add_value("n_ref_global", params.n_ref_global)
+    table.add_value("n_ref_local", params.n_ref_local)
+
+    if params.type in ("PMG", "HMG-global", "HPMG"):
+        result, problem, levels = api.solve_with_global_coarsening(params, mesh)
+    elif params.type in ("AMG", "AMGPETSc"):
+        result, problem, levels = api.solve_with_amg(params, mesh)
+    else:
+        raise NotImplementedError(params.type)
+
+    table.add_value("n_dofs", result.n_dofs)
+    table.add_value("n_levels", result.n_levels)
+    table.add_value("n_iterations", result.n_iterations)
+    table.add_value("converged", result.converged)
+    table.add_value("time", result.time)
+    table.add_value("throughput", result.throughput)
+
+    if params.verbose and params.type in ("PMG", "HMG-global", "HPMG"):
+        import jax
+
+        n_shards = max(len(jax.devices()), 1)
+        stats = metrics.multigrid_statistics(
+            [lv.mesh for lv in levels], n_shards, params.fe_degree_fine
+        )
+        for k, v in stats.items():
+            table.add_value(k, v)
+
+    if params.simulation_type == "Gaussian":
+        u = problem.full_solution(result.x)
+        table.add_value("l2_error", float(poisson.l2_error(problem, u)))
+
+
+def main(argv: list[str] | None = None) -> int:
+    argv = sys.argv[1:] if argv is None else argv
+    if not argv:
+        print("usage: python -m dealii_multigrid_tpu.cli input_0001.json [...]")
+        return 1
+    table = ConvergenceTable()
+    for path in argv:
+        params = RunParameters.parse(path)
+        run_config(params, table)
+        table.write_text()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -53,6 +53,10 @@ class TwoLevelTransfer:
     n_dofs_coarse: int
 
     def prolong(self, u_c: jax.Array) -> jax.Array:
+        # zero coarse Dirichlet first so prolong/restrict are exact adjoints
+        # (C_c = distribute ∘ zero, C_c^T = zero ∘ distribute^T)
+        if self.coarse_dirichlet.shape[0]:
+            u_c = u_c.at[self.coarse_dirichlet].set(0)
         u = distribute(u_c, self.coarse_hanging)
         out = jnp.zeros(self.n_dofs_fine, u_c.dtype)
         for b in self.buckets:

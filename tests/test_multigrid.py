@@ -1,0 +1,86 @@
+"""Multigrid solve tests: iteration counts, correctness, mixed precision.
+
+The reference's own verification layers are CG convergence behaviour and
+iteration counts (SURVEY.md §4); multigrid theory guarantees bounded,
+mesh-independent counts for a correct hierarchy.
+"""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from dealii_multigrid_tpu import api
+from dealii_multigrid_tpu.models import poisson as P
+from dealii_multigrid_tpu.utils.params import RunParameters
+
+
+def _params(typ, r, p=2, coarse="amg", reltol=1e-4, geo="quadrant"):
+    prm = RunParameters()
+    prm.type = typ
+    prm.geometry_type = geo
+    prm.n_ref_global = r
+    prm.fe_degree_fine = p
+    prm.number_type = "double"
+    prm.mg_number_type = "double"
+    prm.mg_data.coarse_solver.type = coarse
+    prm.mg_data.smoother.degree = 3
+    prm.mg_data.cg_normal.reltol = reltol
+    prm.mg_data.n_repetitions = 1
+    return prm
+
+
+@pytest.mark.parametrize("typ", ["HMG-global", "PMG", "HPMG"])
+def test_iteration_counts_bounded_and_mesh_independent(typ):
+    counts = []
+    for r in (2, 3):
+        res, prob, levels = api.run(_params(typ, r))
+        assert res.converged
+        counts.append(res.n_iterations)
+    assert max(counts) <= 8, counts
+    assert abs(counts[0] - counts[1]) <= 2, counts
+
+
+def test_solution_correct_vs_plain_cg():
+    prm = _params("HMG-global", 3, p=2, reltol=1e-10)
+    res, prob, levels = api.run(prm)
+    # residual actually small in the constrained system
+    r = prob.rhs - prob.op.vmult(res.x)
+    assert float(jnp.linalg.norm(r)) <= 1e-9 * float(jnp.linalg.norm(prob.rhs))
+
+
+def test_gaussian_l2_error_decreases():
+    errs = []
+    for r in (3, 4):
+        prm = _params("HMG-global", r, p=2, reltol=1e-8)
+        prm.simulation_type = "Gaussian"
+        res, prob, levels = api.run(prm)
+        u = prob.full_solution(res.x)
+        errs.append(float(P.l2_error(prob, u)))
+    assert errs[1] < errs[0]
+
+
+def test_mixed_precision_float_levels():
+    prm = _params("HMG-global", 3, p=2)
+    prm.mg_number_type = "float"  # float MG under double CG (reference default)
+    res, prob, levels = api.run(prm)
+    assert res.converged
+    assert res.n_iterations <= 8
+
+
+def test_parameter_study_fixed_iterations():
+    prm = _params("HMG-global", 2, p=2)
+    prm.mg_data.do_parameter_study = True
+    prm.mg_data.cg_parameter_study.maxiter = 5
+    res, prob, levels = api.run(prm)
+    assert res.n_iterations == 5
+
+
+@pytest.mark.parametrize("coarse", ["cg", "cg_with_chebyshev", "amg"])
+def test_coarse_solver_variants(coarse):
+    res, prob, levels = api.run(_params("HMG-global", 2, p=2, coarse=coarse))
+    assert res.converged and res.n_iterations <= 8
+
+
+def test_amg_path():
+    res, prob, levels = api.run(_params("AMG", 2, p=1))
+    assert res.converged
