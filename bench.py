@@ -26,7 +26,7 @@ def main() -> int:
     params = RunParameters()
     params.type = "HMG-global"
     params.geometry_type = "quadrant"
-    params.n_ref_global = 6
+    params.n_ref_global = 5
     params.fe_degree_fine = 4  # north-star config is p=4
     params.number_type = "float"
     params.mg_number_type = "float"

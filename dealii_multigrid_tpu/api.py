@@ -156,6 +156,8 @@ def mg_solve(
     mg_data: MultigridParameters,
     n_levels: int,
     warmup: bool = True,
+    dot: Callable | None = None,
+    n_dofs: int | None = None,
 ) -> MGSolveResult:
     """Warm-up solve + best-of-n_repetitions timed CG, the reference's
     benchmark protocol (multigrid_throughput.cc:1140-1268)."""
@@ -177,6 +179,7 @@ def mg_solve(
                 if mg_data.do_parameter_study
                 else None
             ),
+            dot=dot,
         )
 
     res = jax.block_until_ready(solve(rhs))  # warm-up (compile + run)
@@ -188,7 +191,8 @@ def mg_solve(
         times.append(time.perf_counter() - t0)
     best = min(times)
     n_it = int(res.n_iterations)
-    n_dofs = rhs.shape[0]
+    if n_dofs is None:
+        n_dofs = rhs.shape[0]
     return MGSolveResult(
         x=res.x,
         n_iterations=n_it,
@@ -279,3 +283,190 @@ def run(params: RunParameters):
     if params.type in ("AMG", "AMGPETSc"):
         return solve_with_amg(params, mesh)
     raise NotImplementedError(f"solver type {params.type!r} not yet implemented")
+
+
+# ---------------------------------------------------------------------------
+# hybrid (patch-structured) engine path — the TPU fast path (see DESIGN.md)
+# ---------------------------------------------------------------------------
+
+from dataclasses import dataclass as _dataclass
+
+from .ops import hybrid as _hy
+from .ops import hybrid_transfer as _hyt
+
+
+@_dataclass
+class HybridLevel:
+    mesh: AdaptiveMesh
+    degree: int
+    dofh: DoFHandler
+    hanging: Constraints
+    fmt: "_hy.HybridFormat"
+    op: "_hy.HybridOperator"
+    inv_diag: jax.Array          # slot layout
+    eig_b0: jax.Array            # consistent random vector for eig estimation
+    from_global_idx: jax.Array   # i32 [n_slots]
+    to_global_idx: jax.Array     # i32 [n_dofs]
+
+    def from_global(self, u: jax.Array) -> jax.Array:
+        return u[self.from_global_idx]
+
+    def to_global(self, flat: jax.Array) -> jax.Array:
+        return flat[self.to_global_idx]
+
+
+def build_level_hybrid(mesh: AdaptiveMesh, degree: int, dtype, K: int = 4) -> HybridLevel:
+    dofh = distribute_dofs(mesh, degree)
+    hanging = make_hanging_node_constraints(dofh)
+    fmt = _hy.build_hybrid_format(dofh, K=K)
+    op = _hy.make_hybrid_operator(fmt, hanging, dtype=dtype)
+    diag = compute_diagonal(dofh, hanging)
+    inv_diag = jnp.asarray(fmt.from_global(1.0 / diag), dtype=dtype)
+    rng = np.random.default_rng(42)
+    b0 = jnp.asarray(
+        fmt.from_global(rng.standard_normal(dofh.n_dofs)), dtype=dtype
+    )
+    return HybridLevel(
+        mesh=mesh,
+        degree=degree,
+        dofh=dofh,
+        hanging=hanging,
+        fmt=fmt,
+        op=op,
+        inv_diag=inv_diag,
+        eig_b0=b0,
+        from_global_idx=jnp.asarray(fmt.slot_dof, jnp.int32),
+        to_global_idx=jnp.asarray(fmt.rep_slot, jnp.int32),
+    )
+
+
+def _hybrid_coarse_solver(kind: str, level: HybridLevel, mg_data, dtype):
+    op = level.op
+    if kind in ("amg", "amg_petsc", "direct", "cg_with_amg"):
+        from .solvers.coarse import make_direct_coarse_solver
+
+        direct_g = make_direct_coarse_solver(level.dofh, level.hanging, dtype)
+
+        def direct(b):
+            xg = direct_g(level.to_global(b))
+            return level.from_global(xg)
+
+        if kind != "cg_with_amg":
+            return direct
+        prec = direct
+    elif kind == "cg_with_chebyshev":
+        prec = ChebyshevSmoother(
+            op.vmult, level.inv_diag,
+            mg_data.smoother.degree if mg_data else 5,
+            *_cheb_interval(level, mg_data),
+        ).vmult
+    else:
+        prec = None
+    maxiter = mg_data.coarse_solver.maxiter if mg_data else 10000
+    abstol = mg_data.coarse_solver.abstol if mg_data else 1e-20
+    reltol = mg_data.coarse_solver.reltol if mg_data else 1e-4
+
+    def solve(b):
+        return cg_solve(
+            op.vmult, b, preconditioner=prec,
+            maxiter=maxiter, abstol=abstol, reltol=reltol, dot=op.dot,
+        ).x
+
+    return solve
+
+
+def _cheb_interval(level: HybridLevel, mg_data):
+    from .solvers.chebyshev import estimate_eigenvalue_range
+
+    lam_max, _ = estimate_eigenvalue_range(
+        level.op.vmult,
+        level.inv_diag,
+        mg_data.smoother.eig_cg_n_iterations if mg_data else 20,
+        dot=level.op.dot,
+        b0=level.eig_b0,
+    )
+    mx = 1.2 * lam_max
+    mn = mx / (mg_data.smoother.smoothing_range if mg_data else 20.0)
+    return 0.5 * (mx + mn), 0.5 * (mx - mn)
+
+
+def build_gc_preconditioner_hybrid(
+    levels: list[HybridLevel], mg_data: MultigridParameters, level_dtype
+) -> Multigrid:
+    transfers: list = [None]
+    for l in range(1, len(levels)):
+        transfers.append(
+            _hyt.make_hybrid_transfer(
+                levels[l].fmt, levels[l - 1].fmt,
+                levels[l].op, levels[l - 1].op, dtype=level_dtype,
+            )
+        )
+    smoothers: list = [None]
+    for l in range(1, len(levels)):
+        smoothers.append(
+            ChebyshevSmoother.create(
+                levels[l].op.vmult,
+                levels[l].inv_diag,
+                degree=mg_data.smoother.degree,
+                smoothing_range=mg_data.smoother.smoothing_range,
+                eig_cg_n_iterations=mg_data.smoother.eig_cg_n_iterations,
+                dot=levels[l].op.dot,
+                b0=levels[l].eig_b0,
+            )
+        )
+    coarse = _hybrid_coarse_solver(
+        mg_data.coarse_solver.type, levels[0], mg_data, level_dtype
+    )
+    return Multigrid(
+        operators=[lv.op for lv in levels],
+        smoothers=smoothers,
+        transfers=transfers,
+        coarse_solve=coarse,
+        n_cycles=1,
+    )
+
+
+def solve_with_global_coarsening_hybrid(
+    params: RunParameters, fine_mesh: AdaptiveMesh
+):
+    """Hybrid-engine PMG / HMG-global / HPMG solve (TPU fast path)."""
+    outer_dtype = number_dtype(params.number_type)
+    level_dtype = number_dtype(params.mg_number_type)
+
+    tri_seq = geometric_coarsening_sequence(
+        fine_mesh, params.min_level, params.min_n_cells
+    )
+    plan = gc_level_plan(params.type, tri_seq, params.fe_degree_fine)
+
+    levels = [build_level_hybrid(mesh, degree, level_dtype) for mesh, degree in plan]
+    fine = levels[-1]
+
+    # problem assembled in global layout (outer precision), converted to slots
+    fine_gop = make_operator(fine.dofh, fine.hanging, dtype=outer_dtype)
+    problem = poisson.make_problem(
+        fine.dofh, fine.hanging, fine_gop, params.simulation_type
+    )
+    rhs_slots = jnp.asarray(
+        fine.fmt.from_global(np.asarray(problem.rhs, np.float64)), outer_dtype
+    )
+
+    # outer operator: hybrid op in outer precision (same structure)
+    if outer_dtype == level_dtype:
+        outer_op = fine.op
+    else:
+        outer_op = _hy.make_hybrid_operator(fine.fmt, fine.hanging, dtype=outer_dtype)
+
+    mg = build_gc_preconditioner_hybrid(levels, params.mg_data, level_dtype)
+    precond = PreconditionMG(mg, outer_dtype)
+    result = mg_solve(
+        outer_op,
+        rhs_slots,
+        precond,
+        params.mg_data,
+        n_levels=len(levels),
+        dot=outer_op.dot,
+        n_dofs=fine.dofh.n_dofs,
+    )
+    # convert solution back to the global layout for error evaluation
+    result.x = fine.to_global(result.x)
+    return result, problem, levels

@@ -1,0 +1,600 @@
+"""Patch-structured hybrid execution engine (the TPU fast path).
+
+Motivation and measurements in DESIGN.md: XLA element gathers cost ~7 ns per
+row on TPU, so the reference's gather/GEMM/scatter cell loop
+(include/operator.h) is volume-bound on irregular memory ops.  This engine
+stores each level's vector in a hybrid slot layout:
+
+  * patch bucket: ``[n_patches, S, S, S]`` node lattices of aligned K^3
+    same-level cell blocks (S = K*degree + 1), Morton-discovered on the host.
+    Patch-boundary nodes are DUPLICATED between adjacent patches.
+  * singleton bucket: ``[n_singles, (p+1)^3]`` per-cell node values for cells
+    not covered by complete blocks (refinement transitions).
+
+The flat "slot" vector is the concatenation of both buckets.  A global DoF may
+own many slots; primal vectors keep all slots of a DoF equal (consistency
+invariant).  The operator apply is:
+
+  1. constraint application C (small irregular slot tables),
+  2. bulk compute: per-patch sum-factorized stencil with assembled 1D patch
+     matrices (pure batched GEMMs, level-independent up to h^(dim-2)) +
+     per-singleton dense element GEMM,
+  3. assembly exchange: three sequential dimension sweeps of whole-plane
+     row-gathers between same-level face-adjacent patches (handles faces,
+     edges, corners), plus exact irregular group tables for every DoF the
+     sweeps provably do not cover — membership decided by an exact integer
+     SIMULATION of the sweeps on the host, so no geometric case analysis can
+     go wrong,
+  4. C^T + identity-on-constrained, mirroring the reference semantics
+     (include/operator.h:152-183).
+
+Conversions to/from the global DoF vector exist for setup and testing only.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..mesh.dof import Constraints, DoFHandler, local_node_indices
+from ..mesh.octree import AdaptiveMesh, morton_encode
+from . import element, tensor
+from .operator import split_boundary_constraints
+
+# ---------------------------------------------------------------------------
+# host-side format construction
+# ---------------------------------------------------------------------------
+
+
+def _assembled_1d(mat: np.ndarray, K: int, degree: int) -> np.ndarray:
+    """Assemble the 1D per-cell matrix into the K-cell patch matrix (S x S)."""
+    S = K * degree + 1
+    out = np.zeros((S, S))
+    for k in range(K):
+        out[k * degree : k * degree + degree + 1, k * degree : k * degree + degree + 1] += mat
+    return out
+
+
+@dataclass
+class HybridFormat:
+    """Host-side description of the hybrid slot layout for one level."""
+
+    dofh: DoFHandler
+    K: int
+    S: int
+    # patch bucket
+    patch_level: np.ndarray      # [NP]
+    patch_block: np.ndarray      # [NP, 3] block anchor (units of K cells)
+    patch_cells: np.ndarray      # [NP, K^3] global cell ids (block-local x-fastest)
+    patch_dof: np.ndarray        # [NP, S, S, S] global dof (axes: x, y, z)
+    nbr: np.ndarray              # [6, NP] same-level face neighbour patch (or -1)
+    # singleton bucket
+    single_cells: np.ndarray     # [NS]
+    # slots
+    slot_dof: np.ndarray         # [n_slots]
+    rep_slot: np.ndarray         # [n_dofs]
+    owner: np.ndarray            # [n_slots] 1.0 on exactly one slot per dof
+    # irregular exchange groups (dofs not covered by the structured sweeps)
+    irr_slots: np.ndarray        # [G, Kg] slot ids (pad: n_slots)
+    irr_out_slots: np.ndarray    # [W] slots to overwrite
+    irr_out_group: np.ndarray    # [W] group index per overwrite target
+
+    @property
+    def n_patches(self) -> int:
+        return len(self.patch_level)
+
+    @property
+    def n_singles(self) -> int:
+        return len(self.single_cells)
+
+    @property
+    def n_slots(self) -> int:
+        return len(self.slot_dof)
+
+    @property
+    def patch_slots(self) -> int:
+        return self.n_patches * self.S**3
+
+    def from_global(self, u: np.ndarray) -> np.ndarray:
+        return u[self.slot_dof]
+
+    def to_global(self, flat: np.ndarray) -> np.ndarray:
+        return flat[self.rep_slot]
+
+
+def _find_patches(mesh: AdaptiveMesh, K: int):
+    """Complete aligned K^3 same-level blocks; returns (level, block, cells
+    [NP, K^3] x-fastest block-local order, covered_mask)."""
+    k2 = K.bit_length() - 1
+    assert 1 << k2 == K
+    covered = np.zeros(mesh.n_cells, dtype=bool)
+    p_level, p_block, p_cells = [], [], []
+    for l in np.unique(mesh.level):
+        if l < k2:
+            continue
+        sel = np.nonzero(mesh.level == l)[0]
+        block = mesh.anchor[sel] >> k2
+        local = mesh.anchor[sel] & (K - 1)
+        lflat = local[:, 0] + K * local[:, 1] + K * K * local[:, 2]
+        bcode = morton_encode(block)
+        order = np.lexsort((lflat, bcode))
+        sel, bcode, lflat, block = sel[order], bcode[order], lflat[order], block[order]
+        # group boundaries
+        uniq, start, counts = np.unique(bcode, return_index=True, return_counts=True)
+        complete = counts == K**3
+        starts = start[complete]
+        if len(starts) == 0:
+            continue
+        gather = starts[:, None] + np.arange(K**3)[None, :]
+        # within a complete group, entries are sorted by lflat = 0..K^3-1
+        cells = sel[gather]
+        p_level.append(np.full(len(starts), l, np.int32))
+        p_block.append(block[starts])
+        p_cells.append(cells)
+        covered[cells.reshape(-1)] = True
+    if p_level:
+        return (
+            np.concatenate(p_level),
+            np.concatenate(p_block),
+            np.concatenate(p_cells),
+            covered,
+        )
+    return (
+        np.zeros(0, np.int32),
+        np.zeros((0, 3), np.int64),
+        np.zeros((0, K**3), np.int64),
+        covered,
+    )
+
+
+def _simulate_sweeps(raw: np.ndarray, nbr: np.ndarray, S: int) -> np.ndarray:
+    """Exact host mirror of the device exchange sweeps (integer arithmetic)."""
+    up = raw.copy()
+    NP = up.shape[0]
+    for d in range(3):
+        axis = d + 1
+        lo_n, hi_n = nbr[2 * d], nbr[2 * d + 1]
+
+        def plane(arr, idx, pos):
+            sl = [slice(None)] * 4
+            sl[axis] = pos
+            src = arr[np.maximum(idx, 0)][tuple([slice(None)] + sl[1:])]
+            src = src * (idx >= 0).reshape((-1,) + (1,) * (src.ndim - 1))
+            return src
+
+        add_lo = plane(up, lo_n, S - 1)   # neighbour-below's top plane
+        add_hi = plane(up, hi_n, 0)       # neighbour-above's bottom plane
+        sl0 = [slice(None)] * 4
+        sl0[axis] = 0
+        slS = [slice(None)] * 4
+        slS[axis] = S - 1
+        up[tuple(sl0)] += add_lo
+        up[tuple(slS)] += add_hi
+    return up
+
+
+def build_hybrid_format(
+    dofh: DoFHandler, K: int = 4, min_patches: int = 2
+) -> HybridFormat:
+    """Build the hybrid layout for one level. 3D only."""
+    mesh = dofh.mesh
+    assert mesh.dim == 3, "hybrid engine is 3D (2D uses the base engine)"
+    p = dofh.degree
+    while True:
+        p_level, p_block, p_cells, covered = _find_patches(mesh, K)
+        if len(p_level) >= min_patches or K == 1:
+            break
+        K //= 2
+    if K == 1:  # no useful patches: singleton-only layout
+        covered = np.zeros(mesh.n_cells, dtype=bool)
+        p_level = np.zeros(0, np.int32)
+        p_block = np.zeros((0, 3), np.int64)
+        p_cells = np.zeros((0, 1), np.int64)
+    S = K * p + 1
+    NP = len(p_level)
+    single_cells = np.nonzero(~covered)[0]
+    NS = len(single_cells)
+    nloc = dofh.n_loc
+
+    # patch_dof lattice: cell at block-local (bx,by,bz), node (i,j,k) ->
+    # lattice (bx*p+i, by*p+j, bz*p+k)
+    loc = local_node_indices(3, p)                       # [nloc, 3] x fastest
+    bidx = np.empty((K**3, 3), dtype=np.int64)
+    f = np.arange(K**3)
+    for d in range(3):
+        bidx[:, d] = (f // K**d) % K
+    TX = (bidx[:, None, 0] * p + loc[None, :, 0]).reshape(-1)
+    TY = (bidx[:, None, 1] * p + loc[None, :, 1]).reshape(-1)
+    TZ = (bidx[:, None, 2] * p + loc[None, :, 2]).reshape(-1)
+    patch_dof = np.zeros((NP, S, S, S), dtype=np.int64)
+    if NP:
+        vals = dofh.cell_dofs[p_cells].reshape(NP, -1)   # [NP, K^3*nloc]
+        patch_dof[:, TX, TY, TZ] = vals
+
+    # neighbours
+    nbr = np.full((6, NP), -1, dtype=np.int64)
+    if NP:
+        key = {}
+        for i in range(NP):
+            key[(int(p_level[i]), int(p_block[i, 0]), int(p_block[i, 1]), int(p_block[i, 2]))] = i
+        for d in range(3):
+            for side, row in ((0, 2 * d), (1, 2 * d + 1)):
+                off = np.zeros(3, np.int64)
+                off[d] = 1 if side else -1
+                for i in range(NP):
+                    q = (
+                        int(p_level[i]),
+                        int(p_block[i, 0] + off[0]),
+                        int(p_block[i, 1] + off[1]),
+                        int(p_block[i, 2] + off[2]),
+                    )
+                    nbr[row, i] = key.get(q, -1)
+
+    # slots
+    slot_dof = np.concatenate(
+        [patch_dof.reshape(-1), dofh.cell_dofs[single_cells].reshape(-1).astype(np.int64)]
+    )
+    n_slots = len(slot_dof)
+    order = np.argsort(slot_dof, kind="stable")
+    sd_sorted = slot_dof[order]
+    first = np.ones(n_slots, dtype=bool)
+    first[1:] = sd_sorted[1:] != sd_sorted[:-1]
+    rep_slot = np.zeros(dofh.n_dofs, dtype=np.int64)
+    rep_slot[sd_sorted[first]] = order[first]
+    owner = np.zeros(n_slots)
+    owner[order[first]] = 1.0
+
+    # regular/irregular classification by exact simulation
+    rng = np.random.default_rng(12345)
+    raw = rng.integers(1, 1 << 40, size=n_slots).astype(np.int64)
+    group_sum = np.zeros(dofh.n_dofs, dtype=np.int64)
+    np.add.at(group_sum, slot_dof, raw)
+    swept = raw.copy()
+    if NP:
+        up = _simulate_sweeps(raw[: NP * S**3].reshape(NP, S, S, S), nbr, S)
+        swept[: NP * S**3] = up.reshape(-1)
+    ok_slot = swept == group_sum[slot_dof]
+    dof_regular = np.ones(dofh.n_dofs, dtype=bool)
+    np.logical_and.at(dof_regular, slot_dof, ok_slot)
+    irr_dofs = np.nonzero(~dof_regular)[0]
+
+    # irregular groups: all slots of each irregular dof
+    if len(irr_dofs):
+        is_irr = np.zeros(dofh.n_dofs, dtype=bool)
+        is_irr[irr_dofs] = True
+        sel = is_irr[slot_dof]
+        s_ids = np.nonzero(sel)[0]
+        s_dofs = slot_dof[s_ids]
+        o = np.argsort(s_dofs, kind="stable")
+        s_ids, s_dofs = s_ids[o], s_dofs[o]
+        uniq, start, counts = np.unique(s_dofs, return_index=True, return_counts=True)
+        G = len(uniq)
+        Kg = int(counts.max())
+        irr_slots = np.full((G, Kg), n_slots, dtype=np.int64)  # pad slot
+        for k in range(Kg):
+            has = counts > k
+            irr_slots[has, k] = s_ids[start[has] + k]
+        irr_out_slots = s_ids
+        irr_out_group = np.repeat(np.arange(G), counts)
+    else:
+        irr_slots = np.zeros((0, 1), np.int64)
+        irr_out_slots = np.zeros(0, np.int64)
+        irr_out_group = np.zeros(0, np.int64)
+
+    return HybridFormat(
+        dofh=dofh,
+        K=K,
+        S=S,
+        patch_level=p_level,
+        patch_block=p_block,
+        patch_cells=p_cells,
+        patch_dof=patch_dof,
+        nbr=nbr,
+        single_cells=single_cells,
+        slot_dof=slot_dof,
+        rep_slot=rep_slot,
+        owner=owner,
+        irr_slots=irr_slots,
+        irr_out_slots=irr_out_slots,
+        irr_out_group=irr_out_group,
+    )
+
+
+def slots_of(fmt: HybridFormat, dofs: np.ndarray):
+    """All slots of each dof: (padded [n, Km] with pad=n_slots, flat list,
+    group index per flat entry)."""
+    order = np.argsort(fmt.slot_dof, kind="stable")
+    sd = fmt.slot_dof[order]
+    starts = np.searchsorted(sd, dofs)
+    ends = np.searchsorted(sd, dofs, side="right")
+    counts = ends - starts
+    Km = int(counts.max()) if len(counts) else 1
+    padded = np.full((len(dofs), max(Km, 1)), fmt.n_slots, dtype=np.int64)
+    for k in range(Km):
+        has = counts > k
+        padded[has, k] = order[starts[has] + k]
+    flat = np.concatenate([order[s:e] for s, e in zip(starts, ends)]) if len(dofs) else np.zeros(0, np.int64)
+    grp = np.repeat(np.arange(len(dofs)), counts)
+    return padded, flat, grp
+
+
+@dataclass(frozen=True)
+class HybridOperator:
+    """Constrained Laplacian in hybrid slot layout (device side)."""
+
+    # bulk compute
+    KS: jax.Array            # [S, S] assembled 1D stiffness (unit cells)
+    MS: jax.Array            # [S, S] assembled 1D mass
+    elem: jax.Array          # [nloc, nloc]
+    pscale: jax.Array        # [NP]
+    sscale: jax.Array        # [NS]
+    # exchange
+    nbr: jax.Array           # i32 [6, NP] clamped
+    nbr_mask: jax.Array      # f [6, NP]
+    # size-bucketed irregular groups: ((slots [G_s, s], out_slots, out_group), ...)
+    irr_buckets: tuple
+    # constraints — zero/set ops are elementwise masks (cheap on TPU);
+    # only genuinely irregular interpolation uses index tables
+    dirichlet_keep: jax.Array      # f [n_slots] 0 on Dirichlet slots
+    slave_keep: jax.Array          # f [n_slots] 0 on hanging-slave slots
+    constrained_keep: jax.Array    # f [n_slots] 0 on all constrained slots
+    slave_master_slots: jax.Array  # i32 [n_sl, Kc] rep slots of masters
+    slave_w: jax.Array             # f [n_sl, Kc]
+    slave_all_slots: jax.Array     # i32 [Wsl] all slots of each slave
+    slave_all_src: jax.Array      # i32 [Wsl]
+    slave_rep: jax.Array           # i32 [n_sl]
+    ct_target: jax.Array           # i32 [M] rep slot of master per (slave,master)
+    ct_src: jax.Array              # i32 [M]
+    ct_w: jax.Array                # f [M]
+    refresh_slots: jax.Array       # i32 [R] non-rep slots of master dofs
+    refresh_src: jax.Array         # i32 [R] their rep slots
+    owner: jax.Array               # f [n_slots]
+    # static
+    NP: int
+    NS: int
+    S: int
+    nloc: int
+    n_slots: int
+    n_dofs: int
+
+    @property
+    def dtype(self):
+        return self.pscale.dtype
+
+    @property
+    def patch_slots(self) -> int:
+        return self.NP * self.S**3
+
+    def new_vector(self) -> jax.Array:
+        return jnp.zeros(self.n_slots, self.dtype)
+
+    def dot(self, x: jax.Array, y: jax.Array) -> jax.Array:
+        return jnp.vdot(x * self.owner, y)
+
+    # ------------------------------------------------------------ constraints
+    def apply_c(self, x: jax.Array) -> jax.Array:
+        x = x * self.dirichlet_keep
+        if self.slave_rep.shape[0]:
+            vals = (self.slave_w * x[self.slave_master_slots]).sum(-1)
+            x = x.at[self.slave_all_slots].set(vals[self.slave_all_src].astype(x.dtype))
+        return x
+
+    def apply_ct(self, r: jax.Array) -> jax.Array:
+        if self.slave_rep.shape[0]:
+            vals = r[self.slave_rep]
+            r = r * self.slave_keep
+            r = r.at[self.ct_target].add((self.ct_w * vals[self.ct_src]).astype(r.dtype))
+            # broadcast master rep values to their duplicate slots
+            if self.refresh_slots.shape[0]:
+                r = r.at[self.refresh_slots].set(r[self.refresh_src])
+        return r * self.dirichlet_keep
+
+    # --------------------------------------------------------------- exchange
+    def exchange(self, r: jax.Array) -> jax.Array:
+        """Sum duplicated slots: irregular group sums (from raw values), then
+        structured plane sweeps, then overwrite irregular slots."""
+        sums = [r[slots].sum(-1) for slots, _, _ in self.irr_buckets]
+        if self.NP:
+            S = self.S
+            up = r[: self.patch_slots].reshape(self.NP, S, S, S)
+            for d in range(3):
+                axis = d + 1
+                lo_n, hi_n = self.nbr[2 * d], self.nbr[2 * d + 1]
+                lo_m, hi_m = self.nbr_mask[2 * d], self.nbr_mask[2 * d + 1]
+                sl_top = [slice(None)] * 4
+                sl_top[axis] = S - 1
+                sl_bot = [slice(None)] * 4
+                sl_bot[axis] = 0
+                bshape = (-1,) + (1,) * 2
+                add_lo = up[tuple([lo_n] + sl_top[1:])] * lo_m.reshape(bshape)
+                add_hi = up[tuple([hi_n] + sl_bot[1:])] * hi_m.reshape(bshape)
+                up = up.at[tuple(sl_bot)].add(add_lo)
+                up = up.at[tuple(sl_top)].add(add_hi)
+            r = r.at[: self.patch_slots].set(up.reshape(-1))
+        for (slots, out_slots, out_group), s in zip(self.irr_buckets, sums):
+            r = r.at[out_slots].set(s[out_group].astype(r.dtype))
+        return r
+
+    # ------------------------------------------------------------------ apply
+    def cell_apply_raw(self, x: jax.Array) -> jax.Array:
+        """Per-patch stencil + per-singleton GEMM; result is pre-exchange."""
+        parts = []
+        if self.NP:
+            S = self.S
+            up = x[: self.patch_slots].reshape(self.NP, S, S, S)
+
+            def ax(u, mat, axis):
+                return jnp.moveaxis(jnp.tensordot(u, mat, axes=([axis], [1])), -1, axis)
+
+            KS, MS = self.KS, self.MS
+            kx = ax(ax(ax(up, KS, 1), MS, 2), MS, 3)
+            ky = ax(ax(ax(up, MS, 1), KS, 2), MS, 3)
+            kz = ax(ax(ax(up, MS, 1), MS, 2), KS, 3)
+            rp = (kx + ky + kz) * self.pscale[:, None, None, None]
+            parts.append(rp.reshape(-1))
+        if self.NS:
+            xs = x[self.patch_slots :].reshape(self.NS, self.nloc)
+            rs = (xs @ self.elem) * self.sscale[:, None]
+            parts.append(rs.reshape(-1))
+        return jnp.concatenate(parts) if len(parts) > 1 else parts[0]
+
+    def vmult(self, x: jax.Array) -> jax.Array:
+        r = self.cell_apply_raw(self.apply_c(x))
+        r = self.exchange(r)
+        r = self.apply_ct(r)
+        # identity on constrained DoFs (reference operator.h:152-183)
+        return r * self.constrained_keep + x * (1.0 - self.constrained_keep)
+
+    Tvmult = vmult
+
+
+jax.tree_util.register_dataclass(
+    HybridOperator,
+    data_fields=[
+        "KS", "MS", "elem", "pscale", "sscale", "nbr", "nbr_mask",
+        "irr_buckets",
+        "dirichlet_keep", "slave_keep", "constrained_keep",
+        "slave_master_slots", "slave_w",
+        "slave_all_slots", "slave_all_src", "slave_rep",
+        "ct_target", "ct_src", "ct_w", "refresh_slots", "refresh_src", "owner",
+    ],
+    meta_fields=["NP", "NS", "S", "nloc", "n_slots", "n_dofs"],
+)
+
+
+def make_hybrid_operator(
+    fmt: HybridFormat, hanging: Constraints, dtype=jnp.float32
+) -> HybridOperator:
+    dofh = fmt.dofh
+    mesh = dofh.mesh
+    p = dofh.degree
+    hang, dirichlet = split_boundary_constraints(dofh, hanging)
+
+    KS = _assembled_1d(tensor.stiffness_matrix_1d(p), fmt.K, p)
+    MS = _assembled_1d(tensor.mass_matrix_1d(p), fmt.K, p)
+    elem_m = element.laplace_element_matrix(3, p)
+    h_p = mesh.h(fmt.patch_level).astype(np.float64)
+    h_s = mesh.h(mesh.level[fmt.single_cells]).astype(np.float64)
+
+    # constraint tables in slot space
+    _, d_flat, _ = slots_of(fmt, dirichlet)
+    _, sl_flat, sl_grp = slots_of(fmt, hang.slave)
+    master_rep = fmt.rep_slot[hang.masters]  # [n_sl, Kc]
+    # C^T: add w*val to the REP slot of each master, then broadcast the rep
+    # value to the master's duplicate slots
+    if len(hang.slave):
+        nz = hang.weights != 0
+        si, ki = np.nonzero(nz)
+        m_dofs = hang.masters[si, ki]
+        ct_target = fmt.rep_slot[m_dofs]
+        ct_src = si
+        ct_w = hang.weights[si, ki]
+        uniq_masters = np.unique(m_dofs)
+        _, mf, mg = slots_of(fmt, uniq_masters)
+        rep = fmt.rep_slot[uniq_masters][mg]
+        nonrep = mf != rep
+        refresh_slots = mf[nonrep]
+        refresh_src = rep[nonrep]
+    else:
+        ct_target = np.zeros(0, np.int64)
+        ct_src = np.zeros(0, np.int64)
+        ct_w = np.zeros(0)
+        refresh_slots = np.zeros(0, np.int64)
+        refresh_src = np.zeros(0, np.int64)
+
+    constrained = np.unique(np.concatenate([dirichlet, hang.slave])).astype(np.int64)
+    _, c_flat, _ = slots_of(fmt, constrained)
+    dirichlet_keep = np.ones(fmt.n_slots)
+    dirichlet_keep[d_flat] = 0.0
+    slave_keep = np.ones(fmt.n_slots)
+    slave_keep[sl_flat] = 0.0
+    constrained_keep = np.ones(fmt.n_slots)
+    constrained_keep[c_flat] = 0.0
+
+    # size-bucketed irregular exchange tables
+    import numpy as _np
+    irr_buckets = []
+    if fmt.irr_slots.shape[0]:
+        counts = (fmt.irr_slots < fmt.n_slots).sum(axis=1)
+        gidx_of = {}
+        for s in _np.unique(counts):
+            gsel = _np.nonzero(counts == s)[0]
+            slots_s = fmt.irr_slots[gsel, :s]
+            # remap out tables for these groups
+            gmap = _np.full(fmt.irr_slots.shape[0], -1, _np.int64)
+            gmap[gsel] = _np.arange(len(gsel))
+            osel = gmap[fmt.irr_out_group] >= 0
+            irr_buckets.append(
+                (
+                    jnp.asarray(slots_s, jnp.int32),
+                    jnp.asarray(fmt.irr_out_slots[osel], jnp.int32),
+                    jnp.asarray(gmap[fmt.irr_out_group[osel]], jnp.int32),
+                )
+            )
+    Kc = max(hang.masters.shape[1], 1)
+
+    return HybridOperator(
+        KS=jnp.asarray(KS, dtype),
+        MS=jnp.asarray(MS, dtype),
+        elem=jnp.asarray(elem_m, dtype),
+        pscale=jnp.asarray(h_p, dtype),
+        sscale=jnp.asarray(h_s, dtype),
+        nbr=jnp.asarray(np.maximum(fmt.nbr, 0), jnp.int32),
+        nbr_mask=jnp.asarray((fmt.nbr >= 0).astype(np.float64), dtype),
+        irr_buckets=tuple(irr_buckets),
+        dirichlet_keep=jnp.asarray(dirichlet_keep, dtype),
+        slave_keep=jnp.asarray(slave_keep, dtype),
+        constrained_keep=jnp.asarray(constrained_keep, dtype),
+        slave_master_slots=jnp.asarray(
+            master_rep if master_rep.size else np.zeros((0, Kc), np.int64), jnp.int32
+        ),
+        slave_w=jnp.asarray(
+            hang.weights if hang.weights.size else np.zeros((0, Kc)), dtype
+        ),
+        slave_all_slots=jnp.asarray(sl_flat, jnp.int32),
+        slave_all_src=jnp.asarray(sl_grp, jnp.int32),
+        slave_rep=jnp.asarray(fmt.rep_slot[hang.slave] if len(hang.slave) else np.zeros(0, np.int64), jnp.int32),
+        ct_target=jnp.asarray(ct_target, jnp.int32),
+        ct_src=jnp.asarray(ct_src, jnp.int32),
+        ct_w=jnp.asarray(ct_w, dtype),
+        refresh_slots=jnp.asarray(refresh_slots, jnp.int32),
+        refresh_src=jnp.asarray(refresh_src, jnp.int32),
+        owner=jnp.asarray(fmt.owner, dtype),
+        NP=fmt.n_patches,
+        NS=fmt.n_singles,
+        S=fmt.S,
+        nloc=dofh.n_loc,
+        n_slots=fmt.n_slots,
+        n_dofs=dofh.n_dofs,
+    )
+
+
+def cell_slot_table(fmt: HybridFormat) -> np.ndarray:
+    """[n_cells, nloc] slot id of each cell-local node in the hybrid layout."""
+    dofh = fmt.dofh
+    p = dofh.degree
+    nloc = dofh.n_loc
+    out = np.full((dofh.mesh.n_cells, nloc), -1, dtype=np.int64)
+    if fmt.n_patches:
+        loc = local_node_indices(3, p)
+        K = fmt.K
+        S = fmt.S
+        bidx = np.empty((K**3, 3), dtype=np.int64)
+        f = np.arange(K**3)
+        for d in range(3):
+            bidx[:, d] = (f // K**d) % K
+        # lattice flat index (x, y, z axes of the [NP, S, S, S] array)
+        TX = bidx[:, None, 0] * p + loc[None, :, 0]
+        TY = bidx[:, None, 1] * p + loc[None, :, 1]
+        TZ = bidx[:, None, 2] * p + loc[None, :, 2]
+        lat = (TX * S + TY) * S + TZ                     # [K^3, nloc]
+        base = (np.arange(fmt.n_patches, dtype=np.int64) * S**3)[:, None, None]
+        slots = base + lat[None, :, :]
+        out[fmt.patch_cells.reshape(-1)] = slots.reshape(-1, nloc)
+    if fmt.n_singles:
+        base = fmt.patch_slots + np.arange(fmt.n_singles, dtype=np.int64)[:, None] * nloc
+        out[fmt.single_cells] = base + np.arange(nloc)[None, :]
+    return out

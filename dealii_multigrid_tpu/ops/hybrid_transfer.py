@@ -1,0 +1,440 @@
+"""Two-level transfers in the hybrid patch layout.
+
+Same global linear maps as ops/transfer.py (nodal interpolation of the
+constraint-distributed coarse function; restriction = exact transpose), but
+executed patch-structured:
+
+  * h-transfer: fine K^3 patches bucket by parent octant; the coarse source is
+    a static strided sub-lattice slice of the parent coarse patch, interpolated
+    by three axis GEMMs with a 1D patch embedding.  Patches that exist on both
+    levels (regions untouched by the coarsening step) are whole-patch copies.
+  * p-transfer: patch-to-patch identity pairing with the 1D degree embedding.
+  * fallback: fine patches whose coarse source is not patch-covered gather
+    their sub-lattice through a (small) irregular slot table; fine singleton
+    cells gather their source cell's nodes the same way.
+
+Every fine slot has exactly one writer, so prolongation needs no weights;
+restriction applies the fine ownership mask (each global DoF counted once),
+runs the mechanical transposes, and finishes with the coarse exchange +
+constraint transpose.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..mesh.octree import morton_encode
+from . import tensor
+from .hybrid import HybridFormat, HybridOperator, cell_slot_table
+from ..mesh.dof import local_node_indices
+
+
+def _axis_apply(u, mat, axis):
+    return jnp.moveaxis(jnp.tensordot(u, mat, axes=([axis], [1])), -1, axis)
+
+
+@dataclass(frozen=True)
+class HybridTransfer:
+    coarse_op: HybridOperator
+    fine_constrained_keep: jax.Array
+    fine_owner: jax.Array
+    E1: jax.Array                  # [S_f, sub] 1D patch embedding
+    patch_buckets: tuple           # ((fidx, cidx, (ox,oy,oz)), ...)
+    id_bucket: tuple | None        # (fidx, cidx) whole-patch copy
+    irr_patch: tuple | None        # (fidx, sub_slots [n, sub^3])
+    irr_id: tuple | None           # (fidx, slots [n, S_f^3]) copy via slot table
+    single_buckets: tuple          # ((sidx, src_slots [n, nloc_c], M), ...)
+    # static
+    S_f: int
+    S_c: int
+    sub: int
+    NP_f: int
+    NS_f: int
+    nloc_f: int
+    n_slots_f: int
+    n_slots_c: int
+
+    @property
+    def fine_patch_slots(self) -> int:
+        return self.NP_f * self.S_f**3
+
+    def _interp_sub(self, sub_vals: jax.Array) -> jax.Array:
+        """[n, sub, sub, sub] -> [n, S_f, S_f, S_f] via three axis GEMMs."""
+        E = self.E1.astype(sub_vals.dtype)
+        v = _axis_apply(sub_vals, E, 1)
+        v = _axis_apply(v, E, 2)
+        return _axis_apply(v, E, 3)
+
+    def _interp_sub_t(self, v: jax.Array) -> jax.Array:
+        ET = self.E1.T.astype(v.dtype)
+        r = _axis_apply(v, ET, 1)
+        r = _axis_apply(r, ET, 2)
+        return _axis_apply(r, ET, 3)
+
+    def prolong(self, uc: jax.Array) -> jax.Array:
+        uc = self.coarse_op.apply_c(uc)
+        dtype = uc.dtype
+        S_c, S_f, sub = self.S_c, self.S_f, self.sub
+        cps = self.coarse_op.patch_slots
+        out_p = jnp.zeros((self.NP_f, S_f, S_f, S_f), dtype)
+        if self.coarse_op.NP:
+            up_c = uc[:cps].reshape(self.coarse_op.NP, S_c, S_c, S_c)
+            for fidx, cidx, (ox, oy, oz) in self.patch_buckets:
+                sv = up_c[cidx, ox : ox + sub, oy : oy + sub, oz : oz + sub]
+                out_p = out_p.at[fidx].set(self._interp_sub(sv))
+            if self.id_bucket is not None:
+                fidx, cidx = self.id_bucket
+                out_p = out_p.at[fidx].set(up_c[cidx])
+        if self.irr_patch is not None:
+            fidx, sub_slots = self.irr_patch
+            sv = uc[sub_slots].reshape(-1, sub, sub, sub)
+            out_p = out_p.at[fidx].set(self._interp_sub(sv))
+        if self.irr_id is not None:
+            fidx, slots = self.irr_id
+            out_p = out_p.at[fidx].set(uc[slots].reshape(-1, S_f, S_f, S_f))
+        parts = [out_p.reshape(-1)]
+        if self.NS_f:
+            out_s = jnp.zeros((self.NS_f, self.nloc_f), dtype)
+            for sidx, src_slots, M in self.single_buckets:
+                v = uc[src_slots] @ M.T.astype(dtype)
+                out_s = out_s.at[sidx].set(v)
+            parts.append(out_s.reshape(-1))
+        out = jnp.concatenate(parts) if len(parts) > 1 else parts[0]
+        return out * self.fine_constrained_keep
+
+    def restrict(self, rf: jax.Array) -> jax.Array:
+        dtype = rf.dtype
+        rf = rf * self.fine_constrained_keep * self.fine_owner
+        S_c, S_f, sub = self.S_c, self.S_f, self.sub
+        cop = self.coarse_op
+        acc = jnp.zeros(self.n_slots_c, dtype)
+        rp = rf[: self.fine_patch_slots].reshape(self.NP_f, S_f, S_f, S_f) if self.NP_f else None
+        if cop.NP and self.NP_f:
+            acc_p = jnp.zeros((cop.NP, S_c, S_c, S_c), dtype)
+            for fidx, cidx, (ox, oy, oz) in self.patch_buckets:
+                v = self._interp_sub_t(rp[fidx])
+                acc_p = acc_p.at[cidx, ox : ox + sub, oy : oy + sub, oz : oz + sub].add(v)
+            if self.id_bucket is not None:
+                fidx, cidx = self.id_bucket
+                acc_p = acc_p.at[cidx].add(rp[fidx])
+            acc = acc.at[: cop.patch_slots].set(acc_p.reshape(-1))
+        if self.irr_patch is not None:
+            fidx, sub_slots = self.irr_patch
+            v = self._interp_sub_t(rp[fidx]).reshape(len(sub_slots), -1)
+            acc = acc.at[sub_slots.reshape(-1)].add(v.reshape(-1))
+        if self.irr_id is not None:
+            fidx, slots = self.irr_id
+            acc = acc.at[slots.reshape(-1)].add(rp[fidx].reshape(-1))
+        if self.NS_f:
+            rs = rf[self.fine_patch_slots :].reshape(self.NS_f, self.nloc_f)
+            for sidx, src_slots, M in self.single_buckets:
+                v = rs[sidx] @ M.astype(dtype)
+                acc = acc.at[src_slots.reshape(-1)].add(v.reshape(-1))
+        acc = cop.exchange(acc)
+        return cop.apply_ct(acc)
+
+
+jax.tree_util.register_dataclass(
+    HybridTransfer,
+    data_fields=[
+        "coarse_op", "fine_constrained_keep", "fine_owner", "E1",
+        "patch_buckets", "id_bucket", "irr_patch", "irr_id", "single_buckets",
+    ],
+    meta_fields=["S_f", "S_c", "sub", "NP_f", "NS_f", "nloc_f", "n_slots_f", "n_slots_c"],
+)
+
+
+def _h_patch_embedding_1d(K: int, degree: int) -> np.ndarray:
+    """[S_f, (K/2)*p+1]: fine K-cell patch nodes from the coarse (K/2)-cell
+    sub-lattice (one global-coarsening step)."""
+    p = degree
+    Eh = tensor.h_embedding_1d(p)
+    S_f = K * p + 1
+    sub = (K // 2) * p + 1
+    out = np.zeros((S_f, sub))
+    for kf in range(K):
+        kc, b = kf >> 1, kf & 1
+        out[kf * p : kf * p + p + 1, kc * p : kc * p + p + 1] = Eh[b]
+    return out
+
+
+def _p_patch_embedding_1d(K: int, deg_c: int, deg_f: int) -> np.ndarray:
+    Ep = tensor.p_embedding_1d(deg_c, deg_f)
+    S_f = K * deg_f + 1
+    S_c = K * deg_c + 1
+    out = np.zeros((S_f, S_c))
+    for k in range(K):
+        out[k * deg_f : k * deg_f + deg_f + 1, k * deg_c : k * deg_c + deg_c + 1] = Ep
+    return out
+
+
+def _kron3(E: np.ndarray) -> np.ndarray:
+    return np.kron(np.kron(E, E), E)
+
+
+def make_hybrid_transfer(
+    fine_fmt: HybridFormat,
+    coarse_fmt: HybridFormat,
+    fine_op: HybridOperator,
+    coarse_op: HybridOperator,
+    dtype=jnp.float32,
+) -> HybridTransfer:
+    fd, cd = fine_fmt.dofh, coarse_fmt.dofh
+    mf, mc = fd.mesh, cd.mesh
+    p_f, p_c = fd.degree, cd.degree
+    K = fine_fmt.K
+    same_mesh = (
+        mf.n_cells == mc.n_cells
+        and np.array_equal(mf.level, mc.level)
+        and np.array_equal(mf.anchor, mc.anchor)
+    )
+    cslot = cell_slot_table(coarse_fmt)
+    nloc_c = cd.n_loc
+    loc_c = local_node_indices(3, p_c)
+
+    # coarse patch lookup (level, block) -> idx (only same-K decompositions)
+    cp_key = {}
+    if coarse_fmt.K == K:
+        for i in range(coarse_fmt.n_patches):
+            cp_key[
+                (
+                    int(coarse_fmt.patch_level[i]),
+                    int(coarse_fmt.patch_block[i, 0]),
+                    int(coarse_fmt.patch_block[i, 1]),
+                    int(coarse_fmt.patch_block[i, 2]),
+                )
+            ] = i
+
+    # coarse active-cell lookup
+    cindex = {}
+    for l in np.unique(mc.level):
+        sel = np.nonzero(mc.level == l)[0]
+        codes = morton_encode(mc.anchor[sel])
+        order = np.argsort(codes)
+        cindex[int(l)] = (codes[order], sel[order])
+
+    def find_cell(level, anchors):
+        got = cindex.get(int(level))
+        if got is None:
+            return np.full(len(anchors), -1, np.int64)
+        codes_sorted, gidx = got
+        q = morton_encode(anchors)
+        pos = np.minimum(np.searchsorted(codes_sorted, q), len(codes_sorted) - 1)
+        return np.where(codes_sorted[pos] == q, gidx[pos], -1)
+
+    patch_buckets = []
+    id_pairs = ([], [])
+    irr_f, irr_slots_list = [], []
+    irr_id_f, irr_id_slots = [], []
+
+    if same_mesh:
+        assert p_f != p_c
+        sub = coarse_fmt.S
+        E1 = _p_patch_embedding_1d(K, p_c, p_f)
+        # patch pairing is identical by construction
+        pair = np.arange(fine_fmt.n_patches, dtype=np.int64)
+        if coarse_fmt.K == K and coarse_fmt.n_patches == fine_fmt.n_patches:
+            patch_buckets.append((pair, pair, (0, 0, 0)))
+        else:  # degenerate: route through irregular sub-lattice
+            for i in range(fine_fmt.n_patches):
+                irr_f.append(i)
+                irr_slots_list.append(
+                    _sub_slots_same_mesh(fine_fmt, coarse_fmt, i, cslot, loc_c, p_c)
+                )
+        M_single = _kron3(tensor.p_embedding_1d(p_c, p_f))
+        sidx = np.arange(fine_fmt.n_singles, dtype=np.int64)
+        # same mesh => same singleton cells in both formats
+        src = cslot[fine_fmt.single_cells]
+        single_buckets = (
+            [(sidx, src, M_single)] if fine_fmt.n_singles else []
+        )
+    else:
+        assert p_f == p_c
+        p = p_f
+        if K > 1:
+            sub = (K // 2) * p + 1
+            E1 = _h_patch_embedding_1d(K, p)
+        else:  # no fine patches (singleton-only level)
+            sub = 1
+            E1 = np.ones((fine_fmt.S, 1))
+        # --- fine patches ---
+        oct_groups = {o: ([], []) for o in range(8)}
+        for i in range(fine_fmt.n_patches):
+            lvl = int(fine_fmt.patch_level[i])
+            blk = fine_fmt.patch_block[i]
+            # identity: same patch in coarse decomposition
+            j = cp_key.get((lvl, int(blk[0]), int(blk[1]), int(blk[2])))
+            if j is not None:
+                id_pairs[0].append(i)
+                id_pairs[1].append(j)
+                continue
+            # identity cells present in coarse but not patch-covered there
+            ident_cells = find_cell(lvl, mf.anchor[fine_fmt.patch_cells[i]])
+            if (ident_cells >= 0).all():
+                lat, _ = _lattice_cells(p, K, loc_c)
+                slots = np.full(fine_fmt.S**3, -1, np.int64)
+                slots[lat.reshape(-1)] = cslot[ident_cells].reshape(-1)
+                assert (slots >= 0).all()
+                irr_id_f.append(i)
+                irr_id_slots.append(slots)
+                continue
+            # parent half-patch
+            o = int((blk[0] & 1) | ((blk[1] & 1) << 1) | ((blk[2] & 1) << 2))
+            jp = cp_key.get(
+                (lvl - 1, int(blk[0] >> 1), int(blk[1] >> 1), int(blk[2] >> 1))
+            )
+            if jp is not None:
+                oct_groups[o][0].append(i)
+                oct_groups[o][1].append(jp)
+            else:
+                irr_f.append(i)
+                irr_slots_list.append(
+                    _sub_slots_h(fine_fmt, i, mc, find_cell, cslot, loc_c, p, K, sub)
+                )
+        half = (K // 2) * p
+        for o, (fi, ci) in oct_groups.items():
+            if fi:
+                off = ((o & 1) * half, ((o >> 1) & 1) * half, ((o >> 2) & 1) * half)
+                patch_buckets.append(
+                    (np.asarray(fi, np.int64), np.asarray(ci, np.int64), off)
+                )
+        # --- fine singles: identity cell or parent cell ---
+        single_buckets = []
+        if fine_fmt.n_singles:
+            scells = fine_fmt.single_cells
+            lvls = mf.level[scells]
+            anch = mf.anchor[scells]
+            ident = np.full(len(scells), -1, np.int64)
+            for l in np.unique(lvls):
+                s = lvls == l
+                ident[s] = find_cell(l, anch[s])
+            id_sel = ident >= 0
+            if id_sel.any():
+                single_buckets.append(
+                    (
+                        np.nonzero(id_sel)[0].astype(np.int64),
+                        cslot[ident[id_sel]],
+                        np.eye(fd.n_loc),
+                    )
+                )
+            rest = np.nonzero(~id_sel)[0]
+            if len(rest):
+                par = np.full(len(rest), -1, np.int64)
+                octs = np.zeros(len(rest), np.int64)
+                for l in np.unique(lvls[rest]):
+                    s = lvls[rest] == l
+                    cells = rest[s]
+                    par[s] = find_cell(l - 1, anch[cells] >> 1)
+                    bits = anch[cells] & 1
+                    octs[s] = bits[:, 0] | (bits[:, 1] << 1) | (bits[:, 2] << 2)
+                assert (par >= 0).all(), "fine singleton without coarse source"
+                Eh = tensor.h_embedding_1d(p)
+                for o in range(8):
+                    s = octs == o
+                    if s.any():
+                        M = np.kron(
+                            np.kron(Eh[(o >> 2) & 1], Eh[(o >> 1) & 1]), Eh[o & 1]
+                        )
+                        single_buckets.append(
+                            (rest[s].astype(np.int64), cslot[par[s]], M)
+                        )
+
+    id_bucket = None
+    if id_pairs[0]:
+        id_bucket = (
+            jnp.asarray(np.asarray(id_pairs[0]), jnp.int32),
+            jnp.asarray(np.asarray(id_pairs[1]), jnp.int32),
+        )
+    irr_id = None
+    if irr_id_f:
+        irr_id = (
+            jnp.asarray(np.asarray(irr_id_f), jnp.int32),
+            jnp.asarray(np.stack(irr_id_slots), jnp.int32),
+        )
+    irr_patch = None
+    if irr_f:
+        irr_patch = (
+            jnp.asarray(np.asarray(irr_f), jnp.int32),
+            jnp.asarray(np.stack(irr_slots_list), jnp.int32),
+        )
+
+    return HybridTransfer(
+        coarse_op=coarse_op,
+        fine_constrained_keep=fine_op.constrained_keep,
+        fine_owner=fine_op.owner,
+        E1=jnp.asarray(E1, dtype),
+        patch_buckets=tuple(
+            (jnp.asarray(f, jnp.int32), jnp.asarray(c, jnp.int32), off)
+            for f, c, off in patch_buckets
+        ),
+        id_bucket=id_bucket,
+        irr_patch=irr_patch,
+        irr_id=irr_id,
+        single_buckets=tuple(
+            (jnp.asarray(s, jnp.int32), jnp.asarray(src, jnp.int32), jnp.asarray(M, dtype))
+            for s, src, M in single_buckets
+        ),
+        S_f=fine_fmt.S,
+        S_c=coarse_fmt.S,
+        sub=sub,
+        NP_f=fine_fmt.n_patches,
+        NS_f=fine_fmt.n_singles,
+        nloc_f=fd.n_loc,
+        n_slots_f=fine_fmt.n_slots,
+        n_slots_c=coarse_fmt.n_slots,
+    )
+
+
+def _lattice_cells(p: int, ncell: int, loc: np.ndarray):
+    """Map (cell position in sub-block, local node) -> sub-lattice flat index."""
+    sub = ncell * p + 1
+    bidx = np.empty((ncell**3, 3), dtype=np.int64)
+    f = np.arange(ncell**3)
+    for d in range(3):
+        bidx[:, d] = (f // ncell**d) % ncell
+    TX = bidx[:, None, 0] * p + loc[None, :, 0]
+    TY = bidx[:, None, 1] * p + loc[None, :, 1]
+    TZ = bidx[:, None, 2] * p + loc[None, :, 2]
+    return (TX * sub + TY) * sub + TZ, bidx  # [ncell^3, nloc]
+
+
+def _sub_slots_h(fmt_f, i, mc, find_cell, cslot, loc_c, p, K, sub):
+    """Irregular coarse sub-lattice slots for one fine patch (h-transfer)."""
+    lvl = int(fmt_f.patch_level[i])
+    blk = fmt_f.patch_block[i]
+    nc = K // 2
+    lat, bidx = _lattice_cells(p, nc, loc_c)
+    out = np.full(sub**3, -1, dtype=np.int64)
+    # coarse cells covering the fine patch: anchors blk*(K//1)... fine patch
+    # spans K cells at lvl = nc cells at lvl-1 starting at blk*K//2
+    base = blk * (K // 2)
+    anchors = base[None, :] + bidx
+    cells = find_cell(lvl - 1, anchors)
+    if (cells < 0).any():
+        # mixed: some regions unrefined (identity cells at lvl)
+        # fall back to identity cells at lvl for the missing ones
+        miss = np.nonzero(cells < 0)[0]
+        raise AssertionError(
+            "irregular h-transfer patch with mixed-level coarse source"
+        )
+    out[lat.reshape(-1)] = cslot[cells].reshape(-1)
+    assert (out >= 0).all()
+    return out
+
+
+def _sub_slots_same_mesh(fmt_f, fmt_c, i, cslot, loc_c, p_c):
+    """Irregular coarse sub-lattice for one fine patch (p-transfer with
+    mismatched decompositions)."""
+    K = fmt_f.K
+    lvl = int(fmt_f.patch_level[i])
+    lat, bidx = _lattice_cells(p_c, K, loc_c)
+    sub = K * p_c + 1
+    out = np.full(sub**3, -1, dtype=np.int64)
+    cells = fmt_f.patch_cells[i]  # same mesh: same cell ids
+    out[lat.reshape(-1)] = cslot[cells].reshape(-1)
+    assert (out >= 0).all()
+    return out

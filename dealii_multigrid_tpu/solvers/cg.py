@@ -32,6 +32,7 @@ def cg_solve(
     abstol: float = 1e-20,
     reltol: float = 1e-4,
     force_iterations: int | None = None,
+    dot: Callable | None = None,
 ) -> CGResult:
     """Solve A x = b by PCG.
 
@@ -41,6 +42,9 @@ def cg_solve(
     """
     if preconditioner is None:
         preconditioner = lambda r: r
+    if dot is None:
+        dot = jnp.vdot
+    norm = lambda v: jnp.sqrt(dot(v, v).real)
     if x0 is None:
         x = jnp.zeros_like(b)
         r = b
@@ -48,7 +52,7 @@ def cg_solve(
         x = x0
         r = b - a_vmult(x0)
 
-    norm0 = jnp.linalg.norm(r)
+    norm0 = norm(r)
     if force_iterations is not None:
         tol = jnp.asarray(0.0, b.dtype)
         maxiter = force_iterations
@@ -56,7 +60,7 @@ def cg_solve(
         tol = jnp.maximum(jnp.asarray(abstol, norm0.dtype), reltol * norm0)
 
     z = preconditioner(r)
-    rz = jnp.vdot(r, z)
+    rz = dot(r, z)
 
     def cond(state):
         x, r, z, p, rz, it, res = state
@@ -65,14 +69,14 @@ def cg_solve(
     def body(state):
         x, r, z, p, rz, it, res = state
         ap = a_vmult(p)
-        alpha = rz / jnp.vdot(p, ap)
+        alpha = rz / dot(p, ap)
         x = x + alpha * p
         r = r - alpha * ap
         z = preconditioner(r)
-        rz_new = jnp.vdot(r, z)
+        rz_new = dot(r, z)
         beta = rz_new / rz
         p = z + beta * p
-        return (x, r, z, p, rz_new, it + 1, jnp.linalg.norm(r))
+        return (x, r, z, p, rz_new, it + 1, norm(r))
 
     state = (x, r, z, z, rz, jnp.asarray(0, jnp.int32), norm0)
     x, r, z, p, rz, it, res = jax.lax.while_loop(cond, body, state)

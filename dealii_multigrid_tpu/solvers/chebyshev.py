@@ -26,6 +26,8 @@ def estimate_eigenvalue_range(
     inv_diag: jax.Array,
     n_iterations: int = 20,
     seed: int = 42,
+    dot: Callable | None = None,
+    b0: jax.Array | None = None,
 ) -> tuple[float, float]:
     """Largest/smallest eigenvalue estimate of D^{-1} A via CG-Lanczos.
 
@@ -36,22 +38,28 @@ def estimate_eigenvalue_range(
     """
     n = inv_diag.shape[0]
     dtype = inv_diag.dtype
-    b = jax.random.normal(jax.random.PRNGKey(seed), (n,), dtype=dtype)
+    if dot is None:
+        dot = jnp.vdot
+    b = (
+        b0.astype(dtype)
+        if b0 is not None
+        else jax.random.normal(jax.random.PRNGKey(seed), (n,), dtype=dtype)
+    )
 
     def run(b):
         r = b
         z = inv_diag * r
         p = z
-        rz = jnp.vdot(r, z)
+        rz = dot(r, z)
 
         def body(carry, _):
             r, p, rz = carry
             ap = a_vmult(p)
-            pap = jnp.vdot(p, ap)
+            pap = dot(p, ap)
             alpha = rz / pap
             r = r - alpha * ap
             z = inv_diag * r
-            rz_new = jnp.vdot(r, z)
+            rz_new = dot(r, z)
             beta = rz_new / rz
             p = z + beta * p
             return (r, p, rz_new), (alpha, beta)
@@ -106,10 +114,12 @@ class ChebyshevSmoother:
         smoothing_range: float = 20.0,
         eig_cg_n_iterations: int = 20,
         max_eigenvalue: float | None = None,
+        dot: Callable | None = None,
+        b0: jax.Array | None = None,
     ) -> "ChebyshevSmoother":
         if max_eigenvalue is None:
             lam_max, _ = estimate_eigenvalue_range(
-                a_vmult, inv_diag, eig_cg_n_iterations
+                a_vmult, inv_diag, eig_cg_n_iterations, dot=dot, b0=b0
             )
             max_eigenvalue = 1.2 * lam_max  # deal.II safety factor
         min_eigenvalue = max_eigenvalue / smoothing_range
