@@ -123,7 +123,7 @@ def build_gc_preconditioner(
     for l in range(1, len(levels)):
         smoothers.append(
             ChebyshevSmoother.create(
-                levels[l].op.vmult,
+                levels[l].op,
                 levels[l].inv_diag,
                 degree=mg_data.smoother.degree,
                 smoothing_range=mg_data.smoother.smoothing_range,
@@ -156,7 +156,7 @@ def mg_solve(
     mg_data: MultigridParameters,
     n_levels: int,
     warmup: bool = True,
-    dot: Callable | None = None,
+    dot=None,  # truthy => use fine_op.dot (ownership-masked)
     n_dofs: int | None = None,
 ) -> MGSolveResult:
     """Warm-up solve + best-of-n_repetitions timed CG, the reference's
@@ -164,13 +164,16 @@ def mg_solve(
     ctrl = (
         mg_data.cg_parameter_study if mg_data.do_parameter_study else mg_data.cg_normal
     )
+    use_op_dot = dot is not None
 
+    # operators/preconditioner are jit ARGUMENTS (pytrees): their index
+    # tables stay runtime parameters, keeping the HLO small (see DESIGN.md).
     @jax.jit
-    def solve(b):
+    def solve(fop, precond, b):
         return cg_solve(
-            fine_op.vmult,
+            fop.vmult,
             b,
-            preconditioner=preconditioner.vmult,
+            preconditioner=precond.vmult,
             maxiter=ctrl.maxiter,
             abstol=ctrl.abstol,
             reltol=ctrl.reltol,
@@ -179,15 +182,15 @@ def mg_solve(
                 if mg_data.do_parameter_study
                 else None
             ),
-            dot=dot,
+            dot=fop.dot if use_op_dot else None,
         )
 
-    res = jax.block_until_ready(solve(rhs))  # warm-up (compile + run)
+    res = jax.block_until_ready(solve(fine_op, preconditioner, rhs))  # warm-up
     times = []
     reps = mg_data.n_repetitions if warmup else 1
     for _ in range(reps):
         t0 = time.perf_counter()
-        res = jax.block_until_ready(solve(rhs))
+        res = jax.block_until_ready(solve(fine_op, preconditioner, rhs))
         times.append(time.perf_counter() - t0)
     best = min(times)
     n_it = int(res.n_iterations)
@@ -341,53 +344,32 @@ def build_level_hybrid(mesh: AdaptiveMesh, degree: int, dtype, K: int = 4) -> Hy
 
 
 def _hybrid_coarse_solver(kind: str, level: HybridLevel, mg_data, dtype):
+    from .solvers.coarse import make_cg_coarse_solver, make_direct_coarse_solver
+
     op = level.op
     if kind in ("amg", "amg_petsc", "direct", "cg_with_amg"):
-        from .solvers.coarse import make_direct_coarse_solver
-
-        direct_g = make_direct_coarse_solver(level.dofh, level.hanging, dtype)
-
-        def direct(b):
-            xg = direct_g(level.to_global(b))
-            return level.from_global(xg)
-
+        direct = make_direct_coarse_solver(
+            level.dofh, level.hanging, dtype,
+            to_idx=level.to_global_idx, from_idx=level.from_global_idx,
+        )
         if kind != "cg_with_amg":
             return direct
         prec = direct
     elif kind == "cg_with_chebyshev":
-        prec = ChebyshevSmoother(
-            op.vmult, level.inv_diag,
-            mg_data.smoother.degree if mg_data else 5,
-            *_cheb_interval(level, mg_data),
-        ).vmult
+        prec = ChebyshevSmoother.create(
+            op, level.inv_diag,
+            degree=mg_data.smoother.degree if mg_data else 5,
+            smoothing_range=mg_data.smoother.smoothing_range if mg_data else 20.0,
+            eig_cg_n_iterations=mg_data.smoother.eig_cg_n_iterations if mg_data else 20,
+            use_op_dot=True,
+            b0=level.eig_b0,
+        )
     else:
         prec = None
     maxiter = mg_data.coarse_solver.maxiter if mg_data else 10000
     abstol = mg_data.coarse_solver.abstol if mg_data else 1e-20
     reltol = mg_data.coarse_solver.reltol if mg_data else 1e-4
-
-    def solve(b):
-        return cg_solve(
-            op.vmult, b, preconditioner=prec,
-            maxiter=maxiter, abstol=abstol, reltol=reltol, dot=op.dot,
-        ).x
-
-    return solve
-
-
-def _cheb_interval(level: HybridLevel, mg_data):
-    from .solvers.chebyshev import estimate_eigenvalue_range
-
-    lam_max, _ = estimate_eigenvalue_range(
-        level.op.vmult,
-        level.inv_diag,
-        mg_data.smoother.eig_cg_n_iterations if mg_data else 20,
-        dot=level.op.dot,
-        b0=level.eig_b0,
-    )
-    mx = 1.2 * lam_max
-    mn = mx / (mg_data.smoother.smoothing_range if mg_data else 20.0)
-    return 0.5 * (mx + mn), 0.5 * (mx - mn)
+    return make_cg_coarse_solver(op, prec, maxiter, abstol, reltol, use_op_dot=True)
 
 
 def build_gc_preconditioner_hybrid(
@@ -405,12 +387,12 @@ def build_gc_preconditioner_hybrid(
     for l in range(1, len(levels)):
         smoothers.append(
             ChebyshevSmoother.create(
-                levels[l].op.vmult,
+                levels[l].op,
                 levels[l].inv_diag,
                 degree=mg_data.smoother.degree,
                 smoothing_range=mg_data.smoother.smoothing_range,
                 eig_cg_n_iterations=mg_data.smoother.eig_cg_n_iterations,
-                dot=levels[l].op.dot,
+                use_op_dot=True,
                 b0=levels[l].eig_b0,
             )
         )
@@ -464,7 +446,7 @@ def solve_with_global_coarsening_hybrid(
         precond,
         params.mg_data,
         n_levels=len(levels),
-        dot=outer_op.dot,
+        dot=True,  # use the operator's ownership-masked dot
         n_dofs=fine.dofh.n_dofs,
     )
     # convert solution back to the global layout for error evaluation

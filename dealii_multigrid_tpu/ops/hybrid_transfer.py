@@ -43,7 +43,8 @@ class HybridTransfer:
     fine_constrained_keep: jax.Array
     fine_owner: jax.Array
     E1: jax.Array                  # [S_f, sub] 1D patch embedding
-    patch_buckets: tuple           # ((fidx, cidx, (ox,oy,oz)), ...)
+    patch_buckets: tuple           # ((fidx, cidx), ...)
+    patch_offsets: tuple           # ((ox, oy, oz), ...) static
     id_bucket: tuple | None        # (fidx, cidx) whole-patch copy
     irr_patch: tuple | None        # (fidx, sub_slots [n, sub^3])
     irr_id: tuple | None           # (fidx, slots [n, S_f^3]) copy via slot table
@@ -83,7 +84,7 @@ class HybridTransfer:
         out_p = jnp.zeros((self.NP_f, S_f, S_f, S_f), dtype)
         if self.coarse_op.NP:
             up_c = uc[:cps].reshape(self.coarse_op.NP, S_c, S_c, S_c)
-            for fidx, cidx, (ox, oy, oz) in self.patch_buckets:
+            for (fidx, cidx), (ox, oy, oz) in zip(self.patch_buckets, self.patch_offsets):
                 sv = up_c[cidx, ox : ox + sub, oy : oy + sub, oz : oz + sub]
                 out_p = out_p.at[fidx].set(self._interp_sub(sv))
             if self.id_bucket is not None:
@@ -115,7 +116,7 @@ class HybridTransfer:
         rp = rf[: self.fine_patch_slots].reshape(self.NP_f, S_f, S_f, S_f) if self.NP_f else None
         if cop.NP and self.NP_f:
             acc_p = jnp.zeros((cop.NP, S_c, S_c, S_c), dtype)
-            for fidx, cidx, (ox, oy, oz) in self.patch_buckets:
+            for (fidx, cidx), (ox, oy, oz) in zip(self.patch_buckets, self.patch_offsets):
                 v = self._interp_sub_t(rp[fidx])
                 acc_p = acc_p.at[cidx, ox : ox + sub, oy : oy + sub, oz : oz + sub].add(v)
             if self.id_bucket is not None:
@@ -144,7 +145,7 @@ jax.tree_util.register_dataclass(
         "coarse_op", "fine_constrained_keep", "fine_owner", "E1",
         "patch_buckets", "id_bucket", "irr_patch", "irr_id", "single_buckets",
     ],
-    meta_fields=["S_f", "S_c", "sub", "NP_f", "NS_f", "nloc_f", "n_slots_f", "n_slots_c"],
+    meta_fields=["patch_offsets", "S_f", "S_c", "sub", "NP_f", "NS_f", "nloc_f", "n_slots_f", "n_slots_c"],
 )
 
 
@@ -368,9 +369,10 @@ def make_hybrid_transfer(
         fine_owner=fine_op.owner,
         E1=jnp.asarray(E1, dtype),
         patch_buckets=tuple(
-            (jnp.asarray(f, jnp.int32), jnp.asarray(c, jnp.int32), off)
+            (jnp.asarray(f, jnp.int32), jnp.asarray(c, jnp.int32))
             for f, c, off in patch_buckets
         ),
+        patch_offsets=tuple(tuple(int(x) for x in off) for f, c, off in patch_buckets),
         id_bucket=id_bucket,
         irr_patch=irr_patch,
         irr_id=irr_id,

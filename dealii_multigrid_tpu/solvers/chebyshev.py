@@ -14,6 +14,7 @@ deal.II convention (degree 1 == damped Jacobi).
 from __future__ import annotations
 
 from dataclasses import dataclass
+from functools import partial
 from typing import Callable
 
 import jax
@@ -22,11 +23,11 @@ import numpy as np
 
 
 def estimate_eigenvalue_range(
-    a_vmult: Callable,
+    op,
     inv_diag: jax.Array,
     n_iterations: int = 20,
     seed: int = 42,
-    dot: Callable | None = None,
+    use_op_dot: bool = False,
     b0: jax.Array | None = None,
 ) -> tuple[float, float]:
     """Largest/smallest eigenvalue estimate of D^{-1} A via CG-Lanczos.
@@ -38,15 +39,17 @@ def estimate_eigenvalue_range(
     """
     n = inv_diag.shape[0]
     dtype = inv_diag.dtype
-    if dot is None:
-        dot = jnp.vdot
     b = (
         b0.astype(dtype)
         if b0 is not None
         else jax.random.normal(jax.random.PRNGKey(seed), (n,), dtype=dtype)
     )
 
-    def run(b):
+    # op / tables are jit ARGUMENTS (pytrees), not closure constants — keeps
+    # the HLO small and the compile fast.
+    @partial(jax.jit, static_argnames=("n_it", "use_op_dot"))
+    def run(op, inv_diag, b, n_it, use_op_dot):
+        dot = op.dot if use_op_dot else jnp.vdot
         r = b
         z = inv_diag * r
         p = z
@@ -54,7 +57,7 @@ def estimate_eigenvalue_range(
 
         def body(carry, _):
             r, p, rz = carry
-            ap = a_vmult(p)
+            ap = op.vmult(p)
             pap = dot(p, ap)
             alpha = rz / pap
             r = r - alpha * ap
@@ -65,11 +68,11 @@ def estimate_eigenvalue_range(
             return (r, p, rz_new), (alpha, beta)
 
         (_, _, _), (alphas, betas) = jax.lax.scan(
-            body, (r, p, rz), None, length=n_iterations
+            body, (r, p, rz), None, length=n_it
         )
         return alphas, betas
 
-    alphas, betas = jax.jit(run)(b)
+    alphas, betas = run(op, inv_diag, b, n_iterations, use_op_dot)
     alphas = np.asarray(alphas, dtype=np.float64)
     betas = np.asarray(betas, dtype=np.float64)
     # truncate at CG breakdown (small problems converge in < n_iterations
@@ -97,47 +100,55 @@ class ChebyshevSmoother:
 
     vmult(b): apply with zero initial guess (MG pre-smoothing).
     step(x, b): apply with initial guess x (MG post-smoothing).
+
+    A registered pytree: ``op`` (an operator pytree with .vmult) and
+    ``inv_diag`` are data; degree/theta/delta are static metadata, so the
+    whole smoother can be passed as a jit argument.
     """
 
-    a_vmult: Callable
+    op: object
     inv_diag: jax.Array
     degree: int
     theta: float  # interval centre
     delta: float  # interval half-width
 
+    @property
+    def a_vmult(self):
+        return self.op.vmult
+
     @classmethod
     def create(
         cls,
-        a_vmult: Callable,
+        op,
         inv_diag: jax.Array,
         degree: int = 5,
         smoothing_range: float = 20.0,
         eig_cg_n_iterations: int = 20,
         max_eigenvalue: float | None = None,
-        dot: Callable | None = None,
+        use_op_dot: bool = False,
         b0: jax.Array | None = None,
     ) -> "ChebyshevSmoother":
         if max_eigenvalue is None:
             lam_max, _ = estimate_eigenvalue_range(
-                a_vmult, inv_diag, eig_cg_n_iterations, dot=dot, b0=b0
+                op, inv_diag, eig_cg_n_iterations, use_op_dot=use_op_dot, b0=b0
             )
             max_eigenvalue = 1.2 * lam_max  # deal.II safety factor
         min_eigenvalue = max_eigenvalue / smoothing_range
         theta = 0.5 * (max_eigenvalue + min_eigenvalue)
         delta = 0.5 * (max_eigenvalue - min_eigenvalue)
-        return cls(a_vmult, inv_diag, degree, float(theta), float(delta))
+        return cls(op, inv_diag, degree, float(theta), float(delta))
 
     def step(self, x: jax.Array, b: jax.Array) -> jax.Array:
         """Chebyshev iteration from initial guess x (three-term recurrence)."""
         theta = jnp.asarray(self.theta, b.dtype)
         delta = jnp.asarray(self.delta, b.dtype)
         sigma = theta / delta
-        r = b - self.a_vmult(x)
+        r = b - self.op.vmult(x)
         d = (self.inv_diag * r) / theta
         x = x + d
         rho_old = 1.0 / sigma
         for _ in range(self.degree - 1):
-            r = b - self.a_vmult(x)
+            r = b - self.op.vmult(x)
             rho = 1.0 / (2.0 * sigma - rho_old)
             d = (rho * rho_old) * d + (2.0 * rho / delta) * (self.inv_diag * r)
             x = x + d
@@ -154,9 +165,16 @@ class ChebyshevSmoother:
         x = d
         rho_old = 1.0 / sigma
         for _ in range(self.degree - 1):
-            r = b - self.a_vmult(x)
+            r = b - self.op.vmult(x)
             rho = 1.0 / (2.0 * sigma - rho_old)
             d = (rho * rho_old) * d + (2.0 * rho / delta) * (self.inv_diag * r)
             x = x + d
             rho_old = rho
         return x
+
+
+jax.tree_util.register_dataclass(
+    ChebyshevSmoother,
+    data_fields=["op", "inv_diag"],
+    meta_fields=["degree", "theta", "delta"],
+)

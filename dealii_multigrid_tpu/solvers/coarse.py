@@ -67,37 +67,89 @@ def assemble_sparse_matrix(
     return (A + Ic).tocsr()
 
 
+from dataclasses import dataclass
+
+
+@dataclass(frozen=True)
+class DirectCoarseSolver:
+    """Dense Cholesky coarse solve (pytree; jit-argument friendly).
+
+    Optional to_idx/from_idx convert hybrid slot vectors to/from the global
+    DoF layout around the dense solve.
+    """
+
+    L: jax.Array
+    to_idx: jax.Array | None = None    # rep slot per dof (slots -> global)
+    from_idx: jax.Array | None = None  # slot dof (global -> slots)
+
+    def __call__(self, b: jax.Array) -> jax.Array:
+        bg = b[self.to_idx] if self.to_idx is not None else b
+        y = jax.scipy.linalg.solve_triangular(self.L, bg.astype(self.L.dtype), lower=True)
+        x = jax.scipy.linalg.solve_triangular(self.L.T, y, lower=False)
+        x = x.astype(b.dtype)
+        return x[self.from_idx] if self.from_idx is not None else x
+
+    vmult = __call__
+
+
+jax.tree_util.register_dataclass(
+    DirectCoarseSolver, data_fields=["L", "to_idx", "from_idx"], meta_fields=[]
+)
+
+
+@dataclass(frozen=True)
+class CGCoarseSolver:
+    """Inner-CG coarse solve with optional preconditioner (pytree).
+
+    Mirrors MGCoarseGridIterativeSolver + ReductionControl
+    (reference: multigrid_throughput.cc:909-960).
+    """
+
+    op: object
+    preconditioner: object | None
+    maxiter: int
+    abstol: float
+    reltol: float
+    use_op_dot: bool
+
+    def __call__(self, b: jax.Array) -> jax.Array:
+        prec = self.preconditioner.vmult if self.preconditioner is not None else None
+        dot = self.op.dot if self.use_op_dot else None
+        return cg_solve(
+            self.op.vmult, b, preconditioner=prec,
+            maxiter=self.maxiter, abstol=self.abstol, reltol=self.reltol, dot=dot,
+        ).x
+
+    vmult = __call__
+
+
+jax.tree_util.register_dataclass(
+    CGCoarseSolver,
+    data_fields=["op", "preconditioner"],
+    meta_fields=["maxiter", "abstol", "reltol", "use_op_dot"],
+)
+
+
 def make_direct_coarse_solver(
-    dofh: DoFHandler, hanging: Constraints, dtype=jnp.float32
-) -> Callable:
+    dofh: DoFHandler, hanging: Constraints, dtype=jnp.float32,
+    to_idx=None, from_idx=None,
+) -> DirectCoarseSolver:
     """Dense Cholesky coarse solver (setup on host, apply on device)."""
     A = assemble_sparse_matrix(dofh, hanging).toarray()
     Lnp = np.linalg.cholesky(A)
     L = jnp.asarray(Lnp, dtype=jnp.float32 if dtype == jnp.bfloat16 else dtype)
-
-    def solve(b: jax.Array) -> jax.Array:
-        bb = b.astype(L.dtype)
-        y = jax.scipy.linalg.solve_triangular(L, bb, lower=True)
-        x = jax.scipy.linalg.solve_triangular(L.T, y, lower=False)
-        return x.astype(b.dtype)
-
-    return solve
+    return DirectCoarseSolver(L, to_idx, from_idx)
 
 
 def make_cg_coarse_solver(
     op: LaplaceOperator,
-    preconditioner: Callable | None = None,
+    preconditioner=None,
     maxiter: int = 10000,
     abstol: float = 1e-20,
     reltol: float = 1e-4,
-) -> Callable:
-    def solve(b: jax.Array) -> jax.Array:
-        return cg_solve(
-            op.vmult, b, preconditioner=preconditioner,
-            maxiter=maxiter, abstol=abstol, reltol=reltol,
-        ).x
-
-    return solve
+    use_op_dot: bool = False,
+) -> CGCoarseSolver:
+    return CGCoarseSolver(op, preconditioner, maxiter, abstol, reltol, use_op_dot)
 
 
 def make_coarse_solver(
@@ -117,7 +169,7 @@ def make_coarse_solver(
         return make_cg_coarse_solver(op, None, maxiter, abstol, reltol)
     if kind == "cg_with_chebyshev":
         smoother = ChebyshevSmoother.create(
-            op.vmult,
+            op,
             inv_diag,
             degree=mg_data.smoother.degree if mg_data else 5,
             smoothing_range=mg_data.smoother.smoothing_range if mg_data else 20.0,
@@ -125,7 +177,7 @@ def make_coarse_solver(
                 mg_data.smoother.eig_cg_n_iterations if mg_data else 20
             ),
         )
-        return make_cg_coarse_solver(op, smoother.vmult, maxiter, abstol, reltol)
+        return make_cg_coarse_solver(op, smoother, maxiter, abstol, reltol)
     if kind in ("amg", "amg_petsc", "direct"):
         return make_direct_coarse_solver(dofh, hanging, dtype)
     if kind == "cg_with_amg":

@@ -25,15 +25,24 @@ from ..ops.transfer import TwoLevelTransfer
 from .chebyshev import ChebyshevSmoother
 
 
-@dataclass
+@dataclass(frozen=True)
 class Multigrid:
-    """V(1,1)-cycle over a static level hierarchy (coarsest = index 0)."""
+    """V(1,1)-cycle over a static level hierarchy (coarsest = index 0).
 
-    operators: Sequence[LaplaceOperator]
-    smoothers: Sequence[ChebyshevSmoother]        # smoothers[0] unused
-    transfers: Sequence[TwoLevelTransfer]          # transfers[l]: level l <-> l-1
-    coarse_solve: Callable                          # b -> x on level 0
+    A registered pytree: pass it as a jit ARGUMENT so the per-level tables
+    stay runtime parameters instead of baked HLO constants (compile time!).
+    """
+
+    operators: tuple
+    smoothers: tuple        # smoothers[0] unused (None)
+    transfers: tuple        # transfers[l]: level l <-> l-1; transfers[0] None
+    coarse_solve: object    # pytree object, called as coarse_solve(b)
     n_cycles: int = 1
+
+    def __post_init__(self):
+        object.__setattr__(self, "operators", tuple(self.operators))
+        object.__setattr__(self, "smoothers", tuple(self.smoothers))
+        object.__setattr__(self, "transfers", tuple(self.transfers))
 
     @property
     def n_levels(self) -> int:
@@ -61,7 +70,14 @@ class Multigrid:
         return x
 
 
-@dataclass
+jax.tree_util.register_dataclass(
+    Multigrid,
+    data_fields=["operators", "smoothers", "transfers", "coarse_solve"],
+    meta_fields=["n_cycles"],
+)
+
+
+@dataclass(frozen=True)
 class PreconditionMG:
     """Precision boundary between the outer Krylov solve and the MG levels
     (reference: float MG levels under a double outer CG,
@@ -74,3 +90,8 @@ class PreconditionMG:
         level_dtype = self.mg.operators[-1].dtype
         x = self.mg.vmult(b.astype(level_dtype))
         return x.astype(self.outer_dtype)
+
+
+jax.tree_util.register_dataclass(
+    PreconditionMG, data_fields=["mg"], meta_fields=["outer_dtype"]
+)
