@@ -22,3 +22,18 @@ Design stance (TPU-first, NOT a port):
 """
 
 __version__ = "0.1.0"
+
+import os as _os
+
+import jax as _jax
+
+# Persistent compilation cache: the axon TPU plugin compiles remotely and
+# slowly; caching executables on disk makes every run after the first fast.
+_cache_dir = _os.environ.get(
+    "DEALII_MG_TPU_JAX_CACHE", _os.path.join(_os.path.dirname(__file__), "..", ".jax_cache")
+)
+try:
+    _jax.config.update("jax_compilation_cache_dir", _os.path.abspath(_cache_dir))
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except Exception:  # pragma: no cover - older jax
+    pass
