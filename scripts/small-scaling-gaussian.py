@@ -1,0 +1,15 @@
+"""Manufactured Gaussian-solution sweep for convergence validation
+(reference: scripts/small-scaling-gaussian.py)."""
+
+from sweep_common import write_config
+
+counter = 0
+for n_ref in range(3, 20):
+    for k in (1, 4):
+        for solver in ("HMG-local", "HMG-global"):
+            write_config(counter, {
+                "Type": solver, "GeometryType": "quadrant",
+                "NRefGlobal": n_ref, "Degree": k,
+                "SimulationType": "Gaussian",
+            })
+            counter += 1

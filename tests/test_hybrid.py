@@ -1,0 +1,89 @@
+"""Hybrid patch-structured engine tests: exact equivalence with the global
+gather engine (operators, transfers, full solves)."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from dealii_multigrid_tpu import api
+from dealii_multigrid_tpu.mesh import generators as G, dof as D
+from dealii_multigrid_tpu.mesh.coarsening import geometric_coarsening_sequence
+from dealii_multigrid_tpu.ops import operator as OP, hybrid as H, transfer as T
+from dealii_multigrid_tpu.ops import hybrid_transfer as HT
+from dealii_multigrid_tpu.utils.params import RunParameters
+
+
+def _build(mesh, p):
+    dofh = D.distribute_dofs(mesh, p)
+    hang = D.make_hanging_node_constraints(dofh)
+    gop = OP.make_operator(dofh, hang, dtype=jnp.float64)
+    fmt = H.build_hybrid_format(dofh, K=4)
+    hop = H.make_hybrid_operator(fmt, hang, dtype=jnp.float64)
+    return dofh, hang, gop, fmt, hop
+
+
+@pytest.mark.parametrize(
+    "geo,r,p", [("hypercube", 2, 2), ("quadrant", 3, 2), ("quadrant", 4, 3)]
+)
+def test_hybrid_vmult_matches_global(geo, r, p):
+    m = G.create(geo, 3, r)
+    dofh, hang, gop, fmt, hop = _build(m, p)
+    u = np.random.default_rng(0).normal(size=dofh.n_dofs)
+    x = jnp.asarray(fmt.from_global(u))
+    rg = np.asarray(jax.jit(gop.vmult)(jnp.asarray(u)))
+    rh = np.asarray(jax.jit(hop.vmult)(x))
+    # every slot of a dof must hold the global value (consistency + equality)
+    assert np.abs(rh - rg[fmt.slot_dof]).max() < 1e-10
+
+
+def test_hybrid_dot_matches_global():
+    m = G.create_quadrant(3, 3)
+    dofh, hang, gop, fmt, hop = _build(m, 2)
+    rng = np.random.default_rng(1)
+    u, v = rng.normal(size=(2, dofh.n_dofs))
+    d_h = float(hop.dot(jnp.asarray(fmt.from_global(u)), jnp.asarray(fmt.from_global(v))))
+    assert abs(d_h - float(u @ v)) < 1e-9 * abs(float(u @ v))
+
+
+@pytest.mark.parametrize("kind", ["h", "p"])
+def test_hybrid_transfer_matches_global(kind):
+    m = G.create_quadrant(3, 4)
+    if kind == "h":
+        seq = geometric_coarsening_sequence(m)
+        fine_m, coarse_m, pf, pc = seq[-1], seq[-2], 2, 2
+    else:
+        fine_m, coarse_m, pf, pc = m, m, 2, 1
+    fdofh, fhang, fgop, ffmt, fhop = _build(fine_m, pf)
+    cdofh, chang, cgop, cfmt, chop = _build(coarse_m, pc)
+    gt = T.make_two_level_transfer(fdofh, cdofh, fgop, cgop, dtype=jnp.float64)
+    ht = HT.make_hybrid_transfer(ffmt, cfmt, fhop, chop, dtype=jnp.float64)
+    rng = np.random.default_rng(2)
+    uc = rng.normal(size=cdofh.n_dofs)
+    pg = np.asarray(jax.jit(gt.prolong)(jnp.asarray(uc)))
+    ph = np.asarray(jax.jit(ht.prolong)(jnp.asarray(cfmt.from_global(uc))))
+    assert np.abs(ph - pg[ffmt.slot_dof]).max() < 1e-10
+    rf = rng.normal(size=fdofh.n_dofs)
+    rg = np.asarray(jax.jit(gt.restrict)(jnp.asarray(rf)))
+    rh = np.asarray(jax.jit(ht.restrict)(jnp.asarray(ffmt.from_global(rf))))
+    assert np.abs(rh - rg[cfmt.slot_dof]).max() < 1e-9 * max(np.abs(rg).max(), 1)
+
+
+def test_hybrid_solve_matches_global_engine():
+    prm = RunParameters()
+    prm.type = "HMG-global"
+    prm.geometry_type = "quadrant"
+    prm.n_ref_global = 3
+    prm.fe_degree_fine = 2
+    prm.number_type = "double"
+    prm.mg_number_type = "double"
+    prm.mg_data.coarse_solver.type = "amg"
+    prm.mg_data.smoother.degree = 3
+    prm.mg_data.n_repetitions = 1
+    mesh = G.create("quadrant", 3, 3)
+    res_h, _, _ = api.solve_with_global_coarsening_hybrid(prm, mesh)
+    res_g, _, _ = api.solve_with_global_coarsening(prm, mesh)
+    assert res_h.converged and res_g.converged
+    assert abs(res_h.n_iterations - res_g.n_iterations) <= 1
+    dx = np.abs(np.asarray(res_h.x) - np.asarray(res_g.x)).max()
+    assert dx < 1e-4 * np.abs(np.asarray(res_g.x)).max()
