@@ -285,6 +285,8 @@ def run(params: RunParameters):
         return solve_with_global_coarsening(params, mesh)
     if params.type in ("AMG", "AMGPETSc"):
         return solve_with_amg(params, mesh)
+    if params.type in ("HMG-local", "HPMG-local"):
+        return solve_with_local_smoothing(params, mesh)
     raise NotImplementedError(f"solver type {params.type!r} not yet implemented")
 
 
@@ -452,3 +454,97 @@ def solve_with_global_coarsening_hybrid(
     # convert solution back to the global layout for error evaluation
     result.x = fine.to_global(result.x)
     return result, problem, levels
+
+
+# ---------------------------------------------------------------------------
+# local smoothing path (HMG-local / HPMG-local) — reference:
+# solve_with_local_smoothing, multigrid_throughput.cc:1670-1873
+# ---------------------------------------------------------------------------
+
+from .solvers.local_smoothing import LocalSmoothingMG, build_local_smoothing_mg
+
+
+@dataclass(frozen=True)
+class PreconditionLS:
+    """Precision + constrained-subspace wrapper around the LS V-cycle."""
+
+    lsmg: LocalSmoothingMG
+    keep: jax.Array          # global mask: 0 on constrained active-mesh DoFs
+    outer_dtype: jnp.dtype
+
+    def vmult(self, b: jax.Array) -> jax.Array:
+        level_dtype = self.keep.dtype
+        x = self.lsmg.vmult(b.astype(level_dtype)) * self.keep
+        return x.astype(self.outer_dtype)
+
+    __call__ = vmult
+
+
+jax.tree_util.register_dataclass(
+    PreconditionLS, data_fields=["lsmg", "keep"], meta_fields=["outer_dtype"]
+)
+
+
+def solve_with_local_smoothing(params: RunParameters, fine_mesh: AdaptiveMesh):
+    """HMG-local / HPMG-local solve on the active mesh."""
+    outer_dtype = number_dtype(params.number_type)
+    level_dtype = number_dtype(params.mg_number_type)
+    p = params.fe_degree_fine
+
+    fine = build_level(fine_mesh, p, outer_dtype)
+    problem = poisson.make_problem(
+        fine.dofh, fine.hanging, fine.op, params.simulation_type
+    )
+
+    def global_keep(level_ctx, dtype):
+        k = np.ones(level_ctx.dofh.n_dofs)
+        k[np.asarray(level_ctx.op.constrained)] = 0.0
+        return jnp.asarray(k, dtype)
+
+    if params.type == "HMG-local":
+        ls_fine = (
+            fine if level_dtype == outer_dtype else build_level(fine_mesh, p, level_dtype)
+        )
+        lsmg = build_local_smoothing_mg(
+            ls_fine.dofh,
+            np.asarray(ls_fine.op.constrained),
+            params.mg_data,
+            dtype=level_dtype,
+            min_level=max(params.min_level, 0),
+        )
+        precond = PreconditionLS(lsmg, global_keep(ls_fine, level_dtype), outer_dtype)
+        n_levels = len(lsmg.levels)
+    elif params.type == "HPMG-local":
+        # p-levels on the active mesh chained above degree-1 local smoothing
+        # (reference: two Multigrid objects with offset,
+        # multigrid_throughput.cc:1687-1695, 1833-1847)
+        degrees = polynomial_coarsening_sequence(p, "bisect")
+        plevels = [
+            fine if (d == p and level_dtype == outer_dtype) else build_level(fine_mesh, d, level_dtype)
+            for d in degrees
+        ]
+        lsmg = build_local_smoothing_mg(
+            plevels[0].dofh,
+            np.asarray(plevels[0].op.constrained),
+            params.mg_data,
+            dtype=level_dtype,
+            min_level=max(params.min_level, 0),
+        )
+        ls_precond = PreconditionLS(
+            lsmg, global_keep(plevels[0], level_dtype), level_dtype
+        )
+        mg, _ = build_gc_preconditioner(
+            plevels, params.mg_data, outer_dtype, level_dtype
+        )
+        import dataclasses as _dc
+
+        mg = _dc.replace(mg, coarse_solve=ls_precond)
+        precond = PreconditionMG(mg, outer_dtype)
+        n_levels = len(degrees) + len(lsmg.levels) - 1
+    else:
+        raise ValueError(params.type)
+
+    result = mg_solve(
+        fine.op, problem.rhs, precond, params.mg_data, n_levels=n_levels
+    )
+    return result, problem, [fine]

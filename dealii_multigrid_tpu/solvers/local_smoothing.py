@@ -1,0 +1,385 @@
+"""Geometric multigrid with LOCAL SMOOTHING (HMG-local / HPMG-local).
+
+Capability mirror of the reference's solve_with_local_smoothing path
+(multigrid_throughput.cc:1670-1873) built on deal.II's Multigrid +
+MGTransferMatrixFree + refinement-edge interface operators
+(include/operator.h:49-120, 152-226):
+
+  * level-l mesh = all tree cells at level exactly l (ancestors of active
+    cells); levels cover only the region refined to >= l;
+  * level operators treat domain-boundary and refinement-edge ("edge") DoFs
+    as identity rows (reference vmult semantics, operator.h:152-183);
+  * the V-cycle carries the global defect distributed over levels: residuals
+    at refinement-edge rows flow to the coarser level with the restriction
+    (vmult_interface_down, operator.h:191-205), and the prolongated coarse
+    solution couples back into the post-smoothing RHS
+    (vmult_interface_up, operator.h:207-226);
+  * copy_to_mg / copy_from_mg map between the active-mesh global vector and
+    the per-level vectors through the active-cell correspondence.
+
+The derivation is the standard multiplicative-Schwarz splitting over level
+spaces (Clevenger/Heister/Kanschat/Kronbichler, arXiv:1904.03317); CG
+convergence with mesh-independent iteration counts is the correctness oracle
+(an SPD-violating sign error makes PCG fail immediately).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..mesh.dof import DoFHandler, distribute_dofs, local_node_indices
+from ..mesh.octree import AdaptiveMesh, morton_encode
+from ..ops import element, tensor
+from .chebyshev import ChebyshevSmoother
+
+
+def level_mesh(active: AdaptiveMesh, l: int) -> AdaptiveMesh:
+    """Cells at tree level exactly l: active cells at l plus level-l ancestors
+    of finer active cells."""
+    parts = [active.anchor[active.level == l]]
+    for lf in np.unique(active.level):
+        if lf > l:
+            parts.append(active.anchor[active.level == lf] >> (lf - l))
+    anchors = np.unique(np.concatenate(parts), axis=0)
+    m = AdaptiveMesh(
+        active.dim,
+        np.full(len(anchors), l, np.int32),
+        anchors.astype(np.int64),
+        active.lower,
+        active.upper,
+    )
+    m._sort_morton()
+    return m
+
+
+def _expected_valence(dofh: DoFHandler) -> np.ndarray:
+    """Number of level-mesh cells that WOULD contain each DoF if the level
+    region had no boundary except the domain boundary."""
+    mesh, p, dim = dofh.mesh, dofh.degree, dofh.dim
+    loc = local_node_indices(dim, p)
+    on_face = (loc == 0) | (loc == p)              # [nloc, dim]
+    lvl = mesh.level.astype(np.int64)
+    out = np.zeros(dofh.n_dofs, dtype=np.int64)
+    # per (cell, node): factor per axis: 1 if node interior to the cell in
+    # that axis, else 2 unless the face is on the domain boundary.
+    for d in range(dim):
+        pass
+    anchors = mesh.anchor
+    extent = (1 << lvl)[:, None]                   # [ncell, 1]
+    fac = np.ones((mesh.n_cells, len(loc)), dtype=np.int64)
+    for d in range(dim):
+        lo_bd = (anchors[:, d : d + 1] == 0) & (loc[None, :, d] == 0)
+        hi_bd = (anchors[:, d : d + 1] == extent - 1) & (loc[None, :, d] == p)
+        f = np.where(on_face[None, :, d], 2, 1)
+        f = np.where(lo_bd | hi_bd, 1, f)
+        fac *= f
+    out[dofh.cell_dofs.reshape(-1)] = fac.reshape(-1)
+    return out
+
+
+@dataclass
+class LSLevel:
+    """One local-smoothing level (global gather engine).  Host-side mesh and
+    DoFHandler live outside the pytree (see build_local_smoothing_mg)."""
+
+    cell_dofs: jax.Array       # i32 [nc, nloc]
+    scale: jax.Array           # f [nc]
+    elem: jax.Array            # f [nloc, nloc]
+    keep: jax.Array            # f [n]: 0 on boundary ∪ edge (constrained)
+    edge_ind: jax.Array        # f [n]: 1 on refinement-edge DoFs
+    inv_diag: jax.Array
+    n_dofs: int
+
+    def cell_apply_raw(self, u):
+        ucell = u[self.cell_dofs]
+        rcell = (ucell @ self.elem) * self.scale[:, None]
+        r = jnp.zeros_like(u)
+        return r.at[self.cell_dofs.reshape(-1)].add(rcell.reshape(-1))
+
+    # level operator: identity on boundary ∪ edge (operator.h:152-183)
+    def vmult(self, u):
+        r = self.cell_apply_raw(u * self.keep) * self.keep
+        return r + u * (1.0 - self.keep)
+
+    # Γ-rows of the raw operator applied to an interior-supported function
+    # (operator.h:191-205, used for the downward residual flow)
+    def interface_down(self, u):
+        return self.cell_apply_raw(u * self.keep) * self.edge_ind
+
+    # interior rows of the raw operator applied to the Γ part
+    # (operator.h:207-226)
+    def interface_up(self, u):
+        return self.cell_apply_raw(u * self.edge_ind) * self.keep
+
+
+jax.tree_util.register_dataclass(
+    LSLevel,
+    data_fields=["cell_dofs", "scale", "elem", "keep", "edge_ind", "inv_diag"],
+    meta_fields=["n_dofs"],
+)
+
+
+@dataclass
+class LSTransfer:
+    """Prolongation level l-1 -> l over the refined region; restriction is
+    the exact transpose with 1/valence fine weights (MGTransferMatrixFree
+    equivalent; no constraint handling — levels are conforming)."""
+
+    buckets: tuple             # ((fine_cells, coarse_cells, M), ...) per octant
+    fine_cell_dofs: jax.Array
+    coarse_cell_dofs: jax.Array
+    fine_weight: jax.Array
+    n_f: int
+    n_c: int
+
+    def prolong(self, uc):
+        out = jnp.zeros(self.n_f, uc.dtype)
+        for fc, cc, M in self.buckets:
+            vals = uc[self.coarse_cell_dofs[cc]] @ M.T.astype(uc.dtype)
+            fd = self.fine_cell_dofs[fc]
+            out = out.at[fd.reshape(-1)].add((vals * self.fine_weight[fd]).reshape(-1))
+        return out
+
+    def restrict(self, rf):
+        rw = rf * self.fine_weight
+        acc = jnp.zeros(self.n_c, rf.dtype)
+        for fc, cc, M in self.buckets:
+            vals = rw[self.fine_cell_dofs[fc]] @ M.astype(rf.dtype)
+            cd = self.coarse_cell_dofs[cc]
+            acc = acc.at[cd.reshape(-1)].add(vals.reshape(-1))
+        return acc
+
+
+jax.tree_util.register_dataclass(
+    LSTransfer,
+    data_fields=["buckets", "fine_cell_dofs", "coarse_cell_dofs", "fine_weight"],
+    meta_fields=["n_f", "n_c"],
+)
+
+
+@dataclass
+class CopyMap:
+    """copy_to_mg / copy_from_mg index pairs for one level: level DoFs on
+    active cells of that level <-> global active-mesh DoFs."""
+
+    level_idx: jax.Array
+    global_idx: jax.Array
+
+
+jax.tree_util.register_dataclass(
+    CopyMap, data_fields=["level_idx", "global_idx"], meta_fields=[]
+)
+
+
+@dataclass
+class LocalSmoothingMG:
+    """The local-smoothing V-cycle as a global-vector preconditioner."""
+
+    levels: tuple              # LSLevel, coarsest first
+    smoothers: tuple           # ChebyshevSmoother per level (coarsest unused)
+    transfers: tuple           # LSTransfer; transfers[l]: level l-1 -> l
+    copy_maps: tuple           # CopyMap per level
+    coarse_solve: object
+    n_dofs_global: int
+
+    def vmult(self, r_global: jax.Array) -> jax.Array:
+        L = len(self.levels) - 1
+        # copy_to_mg: distribute the global residual onto the levels,
+        # zeroing constrained rows (boundary + refinement edge)
+        defect = []
+        for lev, cm in zip(self.levels, self.copy_maps):
+            d = jnp.zeros(lev.n_dofs, r_global.dtype)
+            d = d.at[cm.level_idx].set(r_global[cm.global_idx])
+            defect.append(d * lev.keep)
+        sols = [None] * (L + 1)
+
+        def v_step(l, d_l):
+            lev = self.levels[l]
+            if l == 0:
+                u = self.coarse_solve(d_l)
+                sols[0] = u
+                return u
+            sm = self.smoothers[l]
+            d_smooth = d_l * lev.keep
+            u = sm.vmult(d_smooth)
+            t = d_smooth - lev.vmult(u)
+            t = t * lev.keep + (d_l - lev.interface_down(u)) * lev.edge_ind
+            # accumulate onto the coarser level's own copy_to defect
+            # (deal.II: defect[l-1] += restrict_and_add(t))
+            d_c = defect[l - 1] + self.transfers[l].restrict(t)
+            u_c = v_step(l - 1, d_c)
+            u = u + self.transfers[l].prolong(u_c)
+            b_eff = (d_smooth - lev.interface_up(u)) * lev.keep + u * (
+                1.0 - lev.keep
+            )
+            u = sm.step(u, b_eff)
+            sols[l] = u
+            return u
+
+        v_step(L, defect[L])
+        # copy_from_mg: coarse-to-fine overwrite; each global DoF takes its
+        # finest-level value (interface values agree by construction)
+        out = jnp.zeros(self.n_dofs_global, r_global.dtype)
+        for lev, cm, u in zip(self.levels, self.copy_maps, sols):
+            out = out.at[cm.global_idx].set(u[cm.level_idx])
+        return out
+
+
+jax.tree_util.register_dataclass(
+    LocalSmoothingMG,
+    data_fields=["levels", "smoothers", "transfers", "copy_maps", "coarse_solve"],
+    meta_fields=["n_dofs_global"],
+)
+
+
+def _octant_matrix(dim: int, degree: int, octant: int) -> np.ndarray:
+    E = tensor.h_embedding_1d(degree)
+    out = np.array([[1.0]])
+    for d in range(dim):
+        out = np.kron(E[(octant >> d) & 1], out)
+    return out
+
+
+def build_local_smoothing_mg(
+    active_dofh: DoFHandler,
+    global_constrained: np.ndarray,
+    mg_data,
+    dtype=jnp.float32,
+    min_level: int = 0,
+) -> LocalSmoothingMG:
+    """Construct the LS hierarchy for the active mesh (global gather engine).
+
+    ``global_constrained``: indices of constrained DoFs of the ACTIVE mesh
+    (Dirichlet + hanging slaves) — the preconditioner output is zeroed there.
+    """
+    active = active_dofh.mesh
+    p = active_dofh.degree
+    dim = active.dim
+    L = active.max_level
+    lmin = max(min_level, 0)
+    elem = element.laplace_element_matrix(dim, p)
+
+    levels, copy_maps = [], []
+    host_meshes, host_dofhs = [], []
+    # active-cell lookup per level for copy maps
+    for l in range(lmin, L + 1):
+        lm = level_mesh(active, l)
+        dofh = distribute_dofs(lm, p)
+        valence = np.bincount(dofh.cell_dofs.reshape(-1), minlength=dofh.n_dofs)
+        expected = _expected_valence(dofh)
+        edge = (valence < expected) & ~dofh.boundary_mask
+        keep = np.ones(dofh.n_dofs)
+        keep[dofh.boundary_mask] = 0.0
+        keep[edge] = 0.0
+        scale = lm.h(lm.level).astype(np.float64) ** (dim - 2)
+        # exact diagonal (no hanging constraints on level meshes)
+        diag = np.zeros(dofh.n_dofs)
+        np.add.at(
+            diag,
+            dofh.cell_dofs.reshape(-1),
+            (scale[:, None] * np.diag(elem)[None, :]).reshape(-1),
+        )
+        diag[keep == 0.0] = 1.0
+        lev = LSLevel(
+            cell_dofs=jnp.asarray(dofh.cell_dofs, jnp.int32),
+            scale=jnp.asarray(scale, dtype),
+            elem=jnp.asarray(elem, dtype),
+            keep=jnp.asarray(keep, dtype),
+            edge_ind=jnp.asarray(edge.astype(np.float64), dtype),
+            inv_diag=jnp.asarray(1.0 / diag, dtype),
+            n_dofs=dofh.n_dofs,
+        )
+        levels.append(lev)
+        host_meshes.append(lm)
+        host_dofhs.append(dofh)
+        # copy map: active cells at level l <-> level-mesh cells
+        sel = np.nonzero(active.level == l)[0]
+        if len(sel):
+            codes = morton_encode(lm.anchor)
+            order = np.argsort(codes)
+            q = morton_encode(active.anchor[sel])
+            pos = order[np.searchsorted(codes[order], q)]
+            lidx = dofh.cell_dofs[pos].reshape(-1)
+            gidx = active_dofh.cell_dofs[sel].reshape(-1)
+        else:
+            lidx = np.zeros(0, np.int64)
+            gidx = np.zeros(0, np.int64)
+        copy_maps.append(
+            CopyMap(jnp.asarray(lidx, jnp.int32), jnp.asarray(gidx, jnp.int32))
+        )
+
+    # transfers between consecutive level meshes (bucket by octant)
+    transfers = [None]
+    for i in range(1, len(levels)):
+        fine, coarse = levels[i], levels[i - 1]
+        lm_f, lm_c = host_meshes[i], host_meshes[i - 1]
+        codes_c = morton_encode(lm_c.anchor)
+        order_c = np.argsort(codes_c)
+        par = lm_f.anchor >> 1
+        pos = order_c[np.searchsorted(codes_c[order_c], morton_encode(par))]
+        bits = lm_f.anchor & 1
+        octs = bits[:, 0] | (bits[:, 1] << 1) | (bits[:, 2] << 2 if dim == 3 else 0)
+        valence = np.bincount(
+            host_dofhs[i].cell_dofs.reshape(-1), minlength=fine.n_dofs
+        )
+        buckets = []
+        for o in range(1 << dim):
+            s = np.nonzero(octs == o)[0]
+            if len(s):
+                buckets.append(
+                    (
+                        jnp.asarray(s, jnp.int32),
+                        jnp.asarray(pos[s], jnp.int32),
+                        jnp.asarray(_octant_matrix(dim, p, o), dtype),
+                    )
+                )
+        transfers.append(
+            LSTransfer(
+                buckets=tuple(buckets),
+                fine_cell_dofs=fine.cell_dofs,
+                coarse_cell_dofs=coarse.cell_dofs,
+                fine_weight=jnp.asarray(1.0 / np.maximum(valence, 1), dtype),
+                n_f=fine.n_dofs,
+                n_c=coarse.n_dofs,
+            )
+        )
+
+    # smoothers (Chebyshev on the masked level operators)
+    smoothers = [None]
+    for lev in levels[1:]:
+        smoothers.append(
+            ChebyshevSmoother.create(
+                lev,
+                lev.inv_diag,
+                degree=mg_data.smoother.degree if mg_data else 3,
+                smoothing_range=(
+                    mg_data.smoother.smoothing_range if mg_data else 20.0
+                ),
+                eig_cg_n_iterations=(
+                    mg_data.smoother.eig_cg_n_iterations if mg_data else 20
+                ),
+            )
+        )
+
+    # coarse solve: dense Cholesky of the coarsest level matrix
+    from ..mesh.dof import Constraints
+    from .coarse import make_direct_coarse_solver
+
+    empty = Constraints(
+        levels[0].n_dofs, np.zeros(0, np.int32), np.zeros((0, 1), np.int32),
+        np.zeros((0, 1)),
+    )
+    coarse = make_direct_coarse_solver(host_dofhs[0], empty, dtype)
+
+    return LocalSmoothingMG(
+        levels=tuple(levels),
+        smoothers=tuple(smoothers),
+        transfers=tuple(transfers),
+        copy_maps=tuple(copy_maps),
+        coarse_solve=coarse,
+        n_dofs_global=active_dofh.n_dofs,
+    )

@@ -84,3 +84,18 @@ def test_coarse_solver_variants(coarse):
 def test_amg_path():
     res, prob, levels = api.run(_params("AMG", 2, p=1))
     assert res.converged
+
+
+@pytest.mark.parametrize("typ", ["HMG-local", "HPMG-local"])
+def test_local_smoothing_variants(typ):
+    counts = []
+    for r in (2, 3):
+        res, prob, _ = api.run(_params(typ, r, p=2))
+        assert res.converged
+        rres = float(
+            jnp.linalg.norm(prob.rhs - prob.op.vmult(res.x))
+            / jnp.linalg.norm(prob.rhs)
+        )
+        assert rres < 1.1e-4
+        counts.append(res.n_iterations)
+    assert max(counts) <= 8 and abs(counts[0] - counts[1]) <= 2
