@@ -1,0 +1,83 @@
+"""ctypes bridge to the native host-side mesh kernels (native/balance.cc).
+
+Builds the shared library on first use if the toolchain is available; every
+caller falls back to the vectorised-NumPy implementation when the library is
+missing, so the package works without a compiler.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+
+import numpy as np
+
+_LIB = None
+_TRIED = False
+
+
+def _native_dir() -> str:
+    return os.path.abspath(
+        os.path.join(os.path.dirname(__file__), "..", "..", "native")
+    )
+
+
+def load() -> ctypes.CDLL | None:
+    global _LIB, _TRIED
+    if _TRIED:
+        return _LIB
+    _TRIED = True
+    path = os.path.join(_native_dir(), "libmgtpu_native.so")
+    if not os.path.exists(path):
+        try:
+            subprocess.run(
+                ["make", "-C", _native_dir()],
+                check=True,
+                capture_output=True,
+                timeout=120,
+            )
+        except Exception:
+            return None
+    if not os.path.exists(path):
+        return None
+    try:
+        lib = ctypes.CDLL(path)
+        lib.mgtpu_balance_2to1.restype = ctypes.c_int64
+        lib.mgtpu_balance_2to1.argtypes = [
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int64,
+        ]
+        _LIB = lib
+    except OSError:
+        _LIB = None
+    return _LIB
+
+
+def balance_2to1(level: np.ndarray, anchor: np.ndarray):
+    """Native 2:1 corner balance; returns (level, anchor) or None."""
+    lib = load()
+    if lib is None:
+        return None
+    lv = np.ascontiguousarray(level, dtype=np.int32)
+    an = np.ascontiguousarray(anchor, dtype=np.int64)
+    cap = max(len(lv) * 4, 4096)
+    for _ in range(8):
+        out_lv = np.empty(cap, dtype=np.int32)
+        out_an = np.empty((cap, 3), dtype=np.int64)
+        m = lib.mgtpu_balance_2to1(
+            lv.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            an.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            len(lv),
+            out_lv.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            out_an.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            cap,
+        )
+        if m <= cap:
+            return out_lv[:m].copy(), out_an[:m].copy()
+        cap = int(m * 1.2)
+    return None

@@ -214,6 +214,14 @@ class AdaptiveMesh:
         """Iteratively refine active cells that violate 2:1 corner balance:
         no active cell may share even a corner with an active cell two or more
         levels finer."""
+        if self.dim == 3:
+            from . import native
+
+            got = native.balance_2to1(self.level, self.anchor)
+            if got is not None:
+                self.level, self.anchor = got[0], got[1]
+                self._codes = {}
+                return
         offsets = self._neighbor_offsets()
         while True:
             self._codes = {}
