@@ -38,11 +38,40 @@ _DTYPES = {
     "float": jnp.float32,
     "double": jnp.float64,
     "bfloat16": jnp.bfloat16,
+    # TPU-native extension: f64 Krylov vectors and dot products around an f32
+    # operator application (v5e has no native f64 matmul path; this recovers
+    # the double-outer iteration counts at f32 compute cost)
+    "mixed": jnp.float64,
 }
 
 
 def number_dtype(name: str):
     return _DTYPES[name]
+
+
+@dataclass(frozen=True)
+class MixedPrecisionOperator:
+    """f64-in/f64-out wrapper applying the operator in its native (f32)
+    precision; dots run in f64."""
+
+    op: object
+
+    def vmult(self, x: jax.Array) -> jax.Array:
+        return self.op.vmult(x.astype(self.op.dtype)).astype(jnp.float64)
+
+    def dot(self, x: jax.Array, y: jax.Array) -> jax.Array:
+        if hasattr(self.op, "owner"):
+            return jnp.vdot(x * self.op.owner.astype(x.dtype), y)
+        return jnp.vdot(x, y)
+
+    @property
+    def dtype(self):
+        return jnp.float64
+
+
+jax.tree_util.register_dataclass(
+    MixedPrecisionOperator, data_fields=["op"], meta_fields=[]
+)
 
 
 @dataclass
@@ -100,6 +129,8 @@ class MGSolveResult:
     n_dofs: int
     n_levels: int
     residual_norm: float
+    mg: object | None = None       # the preconditioner (for phase profiling)
+    rhs_used: jax.Array | None = None
 
 
 def build_gc_preconditioner(
@@ -435,7 +466,13 @@ def solve_with_global_coarsening_hybrid(
     )
 
     # outer operator: hybrid op in outer precision (same structure)
-    if outer_dtype == level_dtype:
+    if params.number_type == "mixed":
+        outer_op = MixedPrecisionOperator(
+            fine.op
+            if level_dtype == jnp.float32
+            else _hy.make_hybrid_operator(fine.fmt, fine.hanging, dtype=jnp.float32)
+        )
+    elif outer_dtype == level_dtype:
         outer_op = fine.op
     else:
         outer_op = _hy.make_hybrid_operator(fine.fmt, fine.hanging, dtype=outer_dtype)
@@ -451,6 +488,8 @@ def solve_with_global_coarsening_hybrid(
         dot=True,  # use the operator's ownership-masked dot
         n_dofs=fine.dofh.n_dofs,
     )
+    result.mg = mg
+    result.rhs_used = rhs_slots
     # convert solution back to the global layout for error evaluation
     result.x = fine.to_global(result.x)
     return result, problem, levels

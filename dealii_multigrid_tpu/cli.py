@@ -31,18 +31,54 @@ def run_config(params: RunParameters, table: ConvergenceTable) -> None:
     table.add_value("n_ref_local", params.n_ref_local)
 
     if params.type in ("PMG", "HMG-global", "HPMG"):
-        result, problem, levels = api.solve_with_global_coarsening(params, mesh)
+        # the hybrid patch engine is the production path for 3D
+        if params.dim == 3:
+            result, problem, levels = api.solve_with_global_coarsening_hybrid(
+                params, mesh
+            )
+        else:
+            result, problem, levels = api.solve_with_global_coarsening(params, mesh)
     elif params.type in ("AMG", "AMGPETSc"):
         result, problem, levels = api.solve_with_amg(params, mesh)
+    elif params.type in ("HMG-local", "HPMG-local"):
+        result, problem, levels = api.solve_with_local_smoothing(params, mesh)
     else:
         raise NotImplementedError(params.type)
+
+    # hanging-node cell census (reference: multigrid_throughput.cc:2177-2190)
+    import numpy as np
+
+    dofh = problem.dofh
+    slave_set = np.zeros(dofh.n_dofs, bool)
+    hang_slaves = np.asarray(problem.op.hanging.slave)
+    slave_set[hang_slaves] = True
+    n_hn = int(slave_set[dofh.cell_dofs].any(axis=1).sum())
+    table.add_value("n_cells_hn", n_hn)
+    table.add_value("n_cells_n", mesh.n_cells - n_hn)
 
     table.add_value("n_dofs", result.n_dofs)
     table.add_value("n_levels", result.n_levels)
     table.add_value("n_iterations", result.n_iterations)
     table.add_value("converged", result.converged)
     table.add_value("time", result.time)
+    table.add_value("time_cg", result.time / max(result.n_iterations, 1))
     table.add_value("throughput", result.throughput)
+
+    if params.verbose and result.mg is not None and result.rhs_used is not None:
+        from dealii_multigrid_tpu.utils.phases import profile_v_cycle
+
+        level_dtype = api.number_dtype(params.mg_number_type)
+        phases = profile_v_cycle(
+            result.mg, result.rhs_used.astype(level_dtype), n_reps=2
+        )
+        for ph, t in sorted(phases.items()):
+            table.add_value(f"time_{ph}", t)
+
+    if params.paraview:
+        from dealii_multigrid_tpu.utils.vtu import write_vtu
+
+        u_full = problem.full_solution(result.x)
+        write_vtu("solution.vtu", problem.dofh, np.asarray(u_full))
 
     if params.verbose and params.type in ("PMG", "HMG-global", "HPMG"):
         import jax
