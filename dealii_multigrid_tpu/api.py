@@ -296,13 +296,10 @@ def solve_with_amg(params: RunParameters, fine_mesh: AdaptiveMesh):
         fine.dofh, fine.hanging, fine.op, params.simulation_type
     )
     solver = make_coarse_solver(
-        "amg", fine.op, fine.dofh, fine.hanging, dtype=outer_dtype
+        "amg", fine.op, fine.dofh, fine.hanging,
+        mg_data=params.mg_data, dtype=outer_dtype,
     )
-
-    class _P:
-        vmult = staticmethod(solver)
-
-    result = mg_solve(fine.op, problem.rhs, _P, params.mg_data, n_levels=1)
+    result = mg_solve(fine.op, problem.rhs, solver, params.mg_data, n_levels=1)
     return result, problem, [fine]
 
 
@@ -377,12 +374,13 @@ def build_level_hybrid(mesh: AdaptiveMesh, degree: int, dtype, K: int = 4) -> Hy
 
 
 def _hybrid_coarse_solver(kind: str, level: HybridLevel, mg_data, dtype):
-    from .solvers.coarse import make_cg_coarse_solver, make_direct_coarse_solver
+    from .solvers.coarse import make_algebraic_solver, make_cg_coarse_solver
 
     op = level.op
     if kind in ("amg", "amg_petsc", "direct", "cg_with_amg"):
-        direct = make_direct_coarse_solver(
-            level.dofh, level.hanging, dtype,
+        direct = make_algebraic_solver(
+            level.dofh, level.hanging, dtype, mg_data,
+            force_direct=(kind == "direct"),
             to_idx=level.to_global_idx, from_idx=level.from_global_idx,
         )
         if kind != "cg_with_amg":

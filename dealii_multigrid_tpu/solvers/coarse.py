@@ -179,8 +179,57 @@ def make_coarse_solver(
         )
         return make_cg_coarse_solver(op, smoother, maxiter, abstol, reltol)
     if kind in ("amg", "amg_petsc", "direct"):
-        return make_direct_coarse_solver(dofh, hanging, dtype)
+        return make_algebraic_solver(dofh, hanging, dtype, mg_data, force_direct=(kind == "direct"))
     if kind == "cg_with_amg":
-        direct = make_direct_coarse_solver(dofh, hanging, dtype)
-        return make_cg_coarse_solver(op, direct, maxiter, abstol, reltol)
+        alg = make_algebraic_solver(dofh, hanging, dtype, mg_data)
+        return make_cg_coarse_solver(op, alg, maxiter, abstol, reltol)
     raise ValueError(f"unknown coarse solver type {kind!r}")
+
+
+# problems up to this size use the exact dense Cholesky (TPU-idiomatic for
+# truncated coarse levels); larger ones get the native smoothed-aggregation
+# AMG (solvers/amg.py)
+DIRECT_SOLVER_MAX_DOFS = 8000
+
+
+def make_algebraic_solver(
+    dofh: DoFHandler,
+    hanging: Constraints,
+    dtype=jnp.float32,
+    mg_data=None,
+    force_direct: bool = False,
+    to_idx=None,
+    from_idx=None,
+):
+    if force_direct or dofh.n_dofs <= DIRECT_SOLVER_MAX_DOFS:
+        return make_direct_coarse_solver(dofh, hanging, dtype, to_idx, from_idx)
+    from .amg import build_amg
+
+    A = assemble_sparse_matrix(dofh, hanging)
+    n_cycles = mg_data.coarse_solver.n_cycles if mg_data else 1
+    amg = build_amg(A, dtype=dtype, n_cycles=n_cycles)
+    if to_idx is None:
+        return amg
+    return SlottedSolver(amg, to_idx, from_idx)
+
+
+from dataclasses import dataclass as _dc2
+
+
+@_dc2(frozen=True)
+class SlottedSolver:
+    """Applies a global-layout solver to hybrid slot vectors."""
+
+    inner: object
+    to_idx: jax.Array
+    from_idx: jax.Array
+
+    def vmult(self, b: jax.Array) -> jax.Array:
+        return self.inner.vmult(b[self.to_idx])[self.from_idx]
+
+    __call__ = vmult
+
+
+jax.tree_util.register_dataclass(
+    SlottedSolver, data_fields=["inner", "to_idx", "from_idx"], meta_fields=[]
+)
