@@ -1,0 +1,76 @@
+"""Partitioning policies + metrics + sharded execution tests."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from dealii_multigrid_tpu import api
+from dealii_multigrid_tpu.mesh import generators as G, dof as D
+from dealii_multigrid_tpu.mesh.coarsening import geometric_coarsening_sequence
+from dealii_multigrid_tpu.parallel import metrics, partition, sharding as SH
+from dealii_multigrid_tpu.solvers.cg import cg_solve
+
+
+def _hierarchy(r=4, p=2):
+    m = G.create_quadrant(3, r)
+    seq = geometric_coarsening_sequence(m)
+    dofh = D.distribute_dofs(m, p)
+    hang = D.make_hanging_node_constraints(dofh)
+    return m, seq, dofh, hang
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["DefaultPolicy", "CellWeightPolicy-2.0", "FirstChildPolicy",
+     "MinimalGranularityPolicy-10", "BalancedGranularityPartitionPolicy"],
+)
+def test_partition_policies_valid(name):
+    m, seq, dofh, hang = _hierarchy()
+    parts = partition.partition_hierarchy(name, seq, 8, dofh, hang)
+    assert len(parts) == len(seq)
+    for mm, pp in zip(seq, parts):
+        assert len(pp) == mm.n_cells
+        assert pp.min() >= 0 and pp.max() < 8
+
+
+def test_cell_weight_policy_balances_weight():
+    m, seq, dofh, hang = _hierarchy()
+    w = partition.hanging_nodes_weighting(dofh, 2.0, hang)
+    part = partition.cell_weight_policy(m, 8, 2.0, dofh, hang)
+    loads = np.bincount(part, weights=w, minlength=8)
+    assert loads.max() / max(loads.mean(), 1) < 1.5
+
+
+def test_metrics_ranges():
+    m, seq, dofh, hang = _hierarchy()
+    stats = metrics.multigrid_statistics(seq, 8, 2)
+    assert 0 < stats["workload_eff"] <= 1.0
+    assert 0 < stats["vertical_eff"] <= 1.0
+    assert 0 < stats["horizontal_eff"] <= 1.0
+    assert stats["mem_total"] > 0
+    assert stats["workload_path_max"] >= seq[-1].n_cells / 8
+
+
+def test_sharded_cg_matches_single_device():
+    """Same CG result on an 8-device mesh as on one device (domain
+    decomposition over Morton cell blocks)."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    m = G.create_quadrant(3, 3)
+    lv = api.build_level(m, 1, jnp.float64)
+    mesh = SH.make_device_mesh(8)
+    op = SH.pad_level_for_sharding(lv.op, 8)
+    op = SH.shard_level_arrays(op, mesh)
+    rng = np.random.default_rng(0)
+    b_host = rng.normal(size=lv.dofh.n_dofs)
+    b = jnp.zeros(op.n_dofs).at[: lv.dofh.n_dofs].set(jnp.asarray(b_host))
+    b = b.at[op.constrained].set(0)
+    b = SH.shard_vector(b, mesh)
+    res = jax.jit(lambda bb: cg_solve(op.vmult, bb, maxiter=20, reltol=1e-6))(b)
+    res1 = jax.jit(
+        lambda bb: cg_solve(lv.op.vmult, bb, maxiter=20, reltol=1e-6)
+    )(b[: lv.dofh.n_dofs])
+    assert np.allclose(
+        np.asarray(res.x[: lv.dofh.n_dofs]), np.asarray(res1.x), atol=1e-10
+    )
