@@ -17,7 +17,8 @@ import time
 
 def main() -> int:
     import jax
-    import jax.numpy as jnp
+
+    jax.config.update("jax_enable_x64", True)  # double outer CG (reference parity)
 
     from dealii_multigrid_tpu import api
     from dealii_multigrid_tpu.mesh import generators
@@ -26,9 +27,9 @@ def main() -> int:
     params = RunParameters()
     params.type = "HMG-global"
     params.geometry_type = "quadrant"
-    params.n_ref_global = 5
+    params.n_ref_global = 6
     params.fe_degree_fine = 4  # north-star config is p=4
-    params.number_type = "float"
+    params.number_type = "double"
     params.mg_number_type = "float"
     params.mg_data.coarse_solver.type = "amg"
     params.mg_data.smoother.degree = 3
@@ -39,7 +40,7 @@ def main() -> int:
     mesh = generators.create(
         params.geometry_type, params.dim, params.n_ref_global, params.n_ref_local
     )
-    result, problem, levels = api.solve_with_global_coarsening(params, mesh)
+    result, problem, levels = api.solve_with_global_coarsening_hybrid(params, mesh)
     setup_time = time.time() - t0
 
     per_chip_baseline = 2.0e9 / 16.0

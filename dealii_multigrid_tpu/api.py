@@ -216,12 +216,18 @@ def mg_solve(
             dot=fop.dot if use_op_dot else None,
         )
 
-    res = jax.block_until_ready(solve(fine_op, preconditioner, rhs))  # warm-up
+    def fence(r):
+        # the axon TPU plugin's block_until_ready is unreliable; a host
+        # transfer of a scalar result is a true execution fence
+        float(r.residual_norm)
+        return r
+
+    res = fence(solve(fine_op, preconditioner, rhs))  # warm-up (compile + run)
     times = []
     reps = mg_data.n_repetitions if warmup else 1
     for _ in range(reps):
         t0 = time.perf_counter()
-        res = jax.block_until_ready(solve(fine_op, preconditioner, rhs))
+        res = fence(solve(fine_op, preconditioner, rhs))
         times.append(time.perf_counter() - t0)
     best = min(times)
     n_it = int(res.n_iterations)

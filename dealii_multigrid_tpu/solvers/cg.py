@@ -64,19 +64,21 @@ def cg_solve(
 
     def cond(state):
         x, r, z, p, rz, it, res = state
-        return (res > tol) & (it < maxiter)
+        return (res > tol.astype(res.dtype)) & (it < maxiter)
 
     def body(state):
         x, r, z, p, rz, it, res = state
         ap = a_vmult(p)
-        alpha = rz / dot(p, ap)
+        # scalars may be computed in higher precision (f64 dots under an f32
+        # solve); cast back for the vector updates
+        alpha = (rz / dot(p, ap)).astype(x.dtype)
         x = x + alpha * p
         r = r - alpha * ap
         z = preconditioner(r)
         rz_new = dot(r, z)
-        beta = rz_new / rz
+        beta = (rz_new / rz).astype(x.dtype)
         p = z + beta * p
-        return (x, r, z, p, rz_new, it + 1, norm(r))
+        return (x, r, z, p, rz_new, it + 1, norm(r).astype(res.dtype))
 
     state = (x, r, z, z, rz, jnp.asarray(0, jnp.int32), norm0)
     x, r, z, p, rz, it, res = jax.lax.while_loop(cond, body, state)

@@ -43,7 +43,8 @@ def profile_v_cycle(mg, b, n_reps: int = 3) -> dict:
 
         def timed(key, fn, *args):
             t0 = time.perf_counter()
-            out = jax.block_until_ready(fn(*args))
+            out = fn(*args)
+            _ = float(jax.numpy.ravel(out)[0])  # true execution fence
             acc[key] += time.perf_counter() - t0
             return out
 
