@@ -352,6 +352,12 @@ class HybridOperator:
     refresh_slots: jax.Array       # i32 [R] non-rep slots of master dofs
     refresh_src: jax.Array         # i32 [R] their rep slots
     owner: jax.Array               # f [n_slots]
+    # structured hanging faces: per bucket (fidx, cidx, ct_mask [n,S,S]);
+    # meta: ((d, side, (ou,ov)), ...) in fine-level-ascending order
+    sf_buckets: tuple
+    sf_meta: tuple
+    sf_E1: jax.Array               # [S, sub] 1D h-embedding
+    sf_slave_keep: jax.Array       # f [n_slots]: 0 on structured-slave slots
     # static
     NP: int
     NS: int
@@ -380,7 +386,49 @@ class HybridOperator:
         if self.slave_rep.shape[0]:
             vals = (self.slave_w * x[self.slave_master_slots]).sum(-1)
             x = x.at[self.slave_all_slots].set(vals[self.slave_all_src].astype(x.dtype))
+        if self.sf_buckets:
+            S = self.S
+            E1 = self.sf_E1.astype(x.dtype)
+            # group buckets by fine level; ascending order + flush per level
+            # resolves constraint chains (a coarse source plane may itself be
+            # the fine side of a deeper hanging interface)
+            levels = sorted({m[0] for m in self.sf_meta})
+            for lev in levels:
+                up = x[: self.patch_slots].reshape(self.NP, S, S, S)
+                for (l, d, side), (fidx, src_slots, _m) in zip(
+                    self.sf_meta, self.sf_buckets
+                ):
+                    if l != lev:
+                        continue
+                    sv = x[src_slots]                       # [n, sub, sub]
+                    plane = jnp.einsum(
+                        "nsj,is->nij", jnp.einsum("nst,jt->nsj", sv, E1), E1
+                    )
+                    up = up.at[(fidx,) + _face_slicer(S, d, side)[1:]].set(plane)
+                x = x.at[: self.patch_slots].set(up.reshape(-1))
+            x = x * self.dirichlet_keep
         return x
+
+    def apply_ct_faces(self, r: jax.Array) -> jax.Array:
+        """Structured C^T on RAW residuals (before exchange): ship masked fine
+        face planes to the coarse quarter-planes, zero the structured slaves."""
+        if not self.sf_buckets:
+            return r
+        S = self.S
+        E1 = self.sf_E1.astype(r.dtype)
+        # fine-level DESCENDING for the transpose chains; reads always come
+        # from the current r so earlier adds are visible
+        for (l, d, side), (fidx, src_slots, mask) in reversed(
+            list(zip(self.sf_meta, self.sf_buckets))
+        ):
+            up = r[: self.patch_slots].reshape(self.NP, S, S, S)
+            plane = up[(fidx,) + _face_slicer(S, d, side)[1:]] * mask.astype(r.dtype)
+            tmp = jnp.einsum("nij,is->nsj", plane, E1)
+            contrib = jnp.einsum("nsj,jt->nst", tmp, E1)
+            r = r.at[src_slots.reshape(src_slots.shape[0], -1).reshape(-1)].add(
+                contrib.reshape(-1)
+            )
+        return r * self.sf_slave_keep
 
     def apply_ct(self, r: jax.Array) -> jax.Array:
         if self.slave_rep.shape[0]:
@@ -443,6 +491,7 @@ class HybridOperator:
 
     def vmult(self, x: jax.Array) -> jax.Array:
         r = self.cell_apply_raw(self.apply_c(x))
+        r = self.apply_ct_faces(r)
         r = self.exchange(r)
         r = self.apply_ct(r)
         # identity on constrained DoFs (reference operator.h:152-183)
@@ -460,8 +509,9 @@ jax.tree_util.register_dataclass(
         "slave_master_slots", "slave_w",
         "slave_all_slots", "slave_all_src", "slave_rep",
         "ct_target", "ct_src", "ct_w", "refresh_slots", "refresh_src", "owner",
+        "sf_buckets", "sf_E1", "sf_slave_keep",
     ],
-    meta_fields=["NP", "NS", "S", "nloc", "n_slots", "n_dofs"],
+    meta_fields=["sf_meta", "NP", "NS", "S", "nloc", "n_slots", "n_dofs"],
 )
 
 
@@ -478,6 +528,74 @@ def make_hybrid_operator(
     elem_m = element.laplace_element_matrix(3, p)
     h_p = mesh.h(fmt.patch_level).astype(np.float64)
     h_s = mesh.h(mesh.level[fmt.single_cells]).astype(np.float64)
+
+    # ---- structured hanging faces ----------------------------------------
+    sf_raw, covered = find_structured_faces(fmt, hang.slave)
+    is_slave_dof = np.zeros(dofh.n_dofs, bool)
+    is_slave_dof[hang.slave] = True
+    # structured slaves: hanging slaves ALL of whose slots lie on covered faces
+    if len(hang.slave):
+        _, h_flat, h_grp = slots_of(fmt, hang.slave)
+        cov_ok = np.ones(len(hang.slave), bool)
+        np.logical_and.at(cov_ok, h_grp, covered[h_flat])
+    else:
+        cov_ok = np.zeros(0, bool)
+    struct_sel = cov_ok
+    table_sel = ~struct_sel
+    # covered-face multiplicity per slot (for the C^T masks)
+    S = fmt.S
+    cov_count = np.zeros(fmt.n_slots, np.int64)
+    slave_slot = np.zeros(fmt.n_slots, bool)
+    if len(hang.slave):
+        ssel_pad, ssel_flat, _ = slots_of(fmt, hang.slave[struct_sel])
+        slave_slot[ssel_flat] = True
+
+    def face_slots(i_arr, d, side):
+        idx = np.arange(S)
+        if d == 0:
+            plane = (np.full((S, S), (S - 1) if side else 0) * S + idx[:, None]) * S + idx[None, :]
+        elif d == 1:
+            plane = (idx[:, None] * S + ((S - 1) if side else 0)) * S + idx[None, :]
+        else:
+            plane = (idx[:, None] * S + idx[None, :]) * S + ((S - 1) if side else 0)
+        return i_arr[:, None, None] * S**3 + plane[None, :, :]
+
+    for l, d, side, fidx, src_slots in sf_raw:
+        fs = face_slots(fidx, d, side)
+        np.add.at(cov_count, fs.reshape(-1), slave_slot[fs.reshape(-1)].astype(np.int64))
+    sf_buckets = []
+    sf_meta = []
+    for l, d, side, fidx, src_slots in sf_raw:
+        fs = face_slots(fidx, d, side)
+        m = np.where(
+            slave_slot[fs] & (cov_count[fs] > 0),
+            1.0 / np.maximum(cov_count[fs], 1),
+            0.0,
+        )
+        sf_buckets.append(
+            (jnp.asarray(fidx, jnp.int32), jnp.asarray(src_slots, jnp.int32),
+             jnp.asarray(m, dtype))
+        )
+        sf_meta.append((int(l), int(d), int(side)))
+    sf_slave_keep = np.ones(fmt.n_slots)
+    sf_slave_keep[slave_slot] = 0.0
+    from . import tensor as _tensor
+
+    Eh = _tensor.h_embedding_1d(p)
+    sub = (fmt.K // 2) * p + 1 if fmt.K >= 2 else 1
+    E1 = np.zeros((S, sub))
+    if fmt.K >= 2:
+        for kf in range(fmt.K):
+            kc, bb = kf >> 1, kf & 1
+            E1[kf * p : kf * p + p + 1, kc * p : kc * p + p + 1] = Eh[bb]
+
+    # per-node tables only for the remaining (non-structured) slaves;
+    # the identity-on-constrained set keeps ALL slaves (structured included)
+    full_slaves = hang.slave
+    hang = Constraints(
+        hang.n_dofs, hang.slave[table_sel], hang.masters[table_sel],
+        hang.weights[table_sel],
+    )
 
     # constraint tables in slot space
     _, d_flat, _ = slots_of(fmt, dirichlet)
@@ -505,7 +623,7 @@ def make_hybrid_operator(
         refresh_slots = np.zeros(0, np.int64)
         refresh_src = np.zeros(0, np.int64)
 
-    constrained = np.unique(np.concatenate([dirichlet, hang.slave])).astype(np.int64)
+    constrained = np.unique(np.concatenate([dirichlet, full_slaves])).astype(np.int64)
     _, c_flat, _ = slots_of(fmt, constrained)
     dirichlet_keep = np.ones(fmt.n_slots)
     dirichlet_keep[d_flat] = 0.0
@@ -563,6 +681,10 @@ def make_hybrid_operator(
         refresh_slots=jnp.asarray(refresh_slots, jnp.int32),
         refresh_src=jnp.asarray(refresh_src, jnp.int32),
         owner=jnp.asarray(fmt.owner, dtype),
+        sf_buckets=tuple(sf_buckets),
+        sf_meta=tuple(sf_meta),
+        sf_E1=jnp.asarray(E1, dtype),
+        sf_slave_keep=jnp.asarray(sf_slave_keep, dtype),
         NP=fmt.n_patches,
         NS=fmt.n_singles,
         S=fmt.S,
@@ -598,3 +720,151 @@ def cell_slot_table(fmt: HybridFormat) -> np.ndarray:
         base = fmt.patch_slots + np.arange(fmt.n_singles, dtype=np.int64)[:, None] * nloc
         out[fmt.single_cells] = base + np.arange(nloc)[None, :]
     return out
+
+
+# ---------------------------------------------------------------------------
+# structured hanging-face constraints
+# ---------------------------------------------------------------------------
+#
+# Hanging interfaces in octree meshes are (mostly) whole patch faces of a
+# level-l patch resting on a quarter-face of a level-(l-1) patch in the SAME
+# hybrid format.  For those, constraint application C collapses to a 2D
+# tensor interpolation of the coarse quarter-plane (two small GEMMs per face)
+# and C^T to its transpose applied to the RAW residual BEFORE the exchange
+# (which then restores slot consistency for free).  Only the leftover slaves
+# (singleton neighbours, partial faces, 3D edge-only constraints) stay in the
+# per-node tables — turning the volume-priced irregular gathers into
+# surface-priced plane GEMMs (DESIGN.md).
+
+
+def find_structured_faces(fmt: HybridFormat, hang_slave: np.ndarray):
+    """Detect fine patch faces FULLY hanging on level-(l-1) cells.
+
+    The coarse source is a sub x sub node plane addressed through a slot
+    table (works whether the coarse cells sit in patches or singletons).
+    Returns (buckets, covered_slots): buckets = list of
+    (fine_level, d, side, fidx [n], src_slots [n, sub, sub]).
+    """
+    mesh = fmt.dofh.mesh
+    p = fmt.dofh.degree
+    K, S = fmt.K, fmt.S
+    covered = np.zeros(fmt.n_slots, bool)
+    if fmt.n_patches == 0 or K < 2:
+        return [], covered
+    half = K // 2
+    sub = half * p + 1
+    cslot = cell_slot_table(fmt)
+    loc = local_node_indices(3, p)
+    # same-level patch lookup (conforming neighbour => not hanging)
+    key = {}
+    for i in range(fmt.n_patches):
+        key[
+            (int(fmt.patch_level[i]), int(fmt.patch_block[i, 0]),
+             int(fmt.patch_block[i, 1]), int(fmt.patch_block[i, 2]))
+        ] = i
+    k2 = K.bit_length() - 1
+
+    idx1 = np.arange(S)
+    out = {}
+    for i in range(fmt.n_patches):
+        l = int(fmt.patch_level[i])
+        blk = fmt.patch_block[i]
+        for d in range(3):
+            t1, t2 = [e for e in range(3) if e != d]
+            for side in (0, 1):
+                nb = blk.copy()
+                nb[d] += 1 if side else -1
+                if nb[d] < 0 or nb[d] >= (1 << max(l - k2, 0)):
+                    continue
+                if (l, int(nb[0]), int(nb[1]), int(nb[2])) in key:
+                    continue
+                # the facing coarse region: half x half cells at level l-1
+                base = np.zeros(3, np.int64)
+                base[t1] = nb[t1] * half
+                base[t2] = nb[t2] * half
+                # facing coarse layer along d at level l-1: the layer of
+                # coarse cells adjacent to the interface plane
+                if side:  # fine patch's high face; coarse region above
+                    base[d] = (nb[d] * K) >> 1
+                else:     # coarse region below; its top layer
+                    base[d] = ((blk[d] * K) >> 1) - 1
+
+                # enumerate the half x half coarse cells on the facing layer
+                cc = np.zeros((half, half, 3), np.int64)
+                cc[..., d] = base[d]
+                cc[..., t1] = base[t1] + np.arange(half)[:, None]
+                cc[..., t2] = base[t2] + np.arange(half)[None, :]
+                cells = mesh.covering_cell_level(l - 1, cc.reshape(-1, 3), l - 1)
+                if (cells != l - 1).any():
+                    continue  # not uniformly one level coarser
+                find = _active_lookup_cache(mesh)
+                cidx = find(l - 1, cc.reshape(-1, 3))
+                # coarse face plane slot table [sub, sub]
+                plane = np.full((sub, sub), -1, np.int64)
+                # node on the coarse cell's face toward the fine patch:
+                # local index on axis d = p if side==0 ... coarse cell is on
+                # the OTHER side: its facing face has i_d = 0 if side else p
+                i_d = 0 if side else p
+                sel = loc[:, d] == i_d
+                fl = loc[sel]
+                for k, (c1, c2) in enumerate(
+                    [(a, b) for a in range(half) for b in range(half)]
+                ):
+                    cell = cidx[k * 1 + 0] if False else cidx[c1 * half + c2]
+                    ii = fl[:, t1] + c1 * p
+                    jj = fl[:, t2] + c2 * p
+                    plane[ii, jj] = cslot[cell][sel]
+                assert (plane >= 0).all()
+                bucket = out.setdefault((l, d, side), ([], []))
+                bucket[0].append(i)
+                bucket[1].append(plane)
+                # mark fine face slots covered
+                base_slot = i * S**3
+                if d == 0:
+                    pl = (np.full((S, S), (S - 1) if side else 0) * S + idx1[:, None]) * S + idx1[None, :]
+                elif d == 1:
+                    pl = (idx1[:, None] * S + ((S - 1) if side else 0)) * S + idx1[None, :]
+                else:
+                    pl = (idx1[:, None] * S + idx1[None, :]) * S + ((S - 1) if side else 0)
+                covered[base_slot + pl.reshape(-1)] = True
+    buckets = [
+        (l, d, side, np.asarray(f, np.int64), np.stack(s))
+        for (l, d, side), (f, s) in sorted(out.items())
+    ]
+    return buckets, covered
+
+
+_lookup_cache = {}
+
+
+def _active_lookup_cache(mesh):
+    k = id(mesh)
+    if k not in _lookup_cache:
+        idx = mesh.active_index()
+
+        def find(level, anchors):
+            codes_sorted, gidx = idx[int(level)]
+            q = morton_encode(anchors)
+            pos = np.searchsorted(codes_sorted, q)
+            return gidx[np.minimum(pos, len(codes_sorted) - 1)]
+
+        _lookup_cache[k] = find
+    return _lookup_cache[k]
+
+
+def _face_slicer(S: int, d: int, side: int):
+    """Static slicing tuple selecting a patch's face plane [n, S, S]."""
+    sl = [slice(None)] * 4
+    sl[d + 1] = (S - 1) if side else 0
+    return tuple(sl)
+
+
+def _sub_slicer(S: int, sub: int, d: int, side: int, o):
+    """Coarse patch's facing quarter-plane [n, sub, sub]."""
+    half = (S - 1) // 2
+    sl = [slice(None)] * 4
+    sl[d + 1] = 0 if side else (S - 1)  # coarse face opposite to fine side
+    t = [e for e in range(3) if e != d]
+    sl[t[0] + 1] = slice(o[0] * half, o[0] * half + sub)
+    sl[t[1] + 1] = slice(o[1] * half, o[1] * half + sub)
+    return tuple(sl)
