@@ -135,6 +135,7 @@ class HybridTransfer:
             for sidx, src_slots, M in self.single_buckets:
                 v = rs[sidx] @ M.astype(dtype)
                 acc = acc.at[src_slots.reshape(-1)].add(v.reshape(-1))
+        acc = cop.apply_ct_faces(acc)
         acc = cop.exchange(acc)
         return cop.apply_ct(acc)
 
