@@ -77,6 +77,8 @@ class HybridFormat:
     slot_dof: np.ndarray         # [n_slots]
     rep_slot: np.ndarray         # [n_dofs]
     owner: np.ndarray            # [n_slots] 1.0 on exactly one slot per dof
+    nbr_s: np.ndarray            # [6, NS] singleton face-neighbour singleton (or -1)
+    use_singleton_sweeps: bool
     # irregular exchange groups (dofs not covered by the structured sweeps)
     irr_slots: np.ndarray        # [G, Kg] slot ids (pad: n_slots)
     irr_out_slots: np.ndarray    # [W] slots to overwrite
@@ -151,7 +153,8 @@ def _find_patches(mesh: AdaptiveMesh, K: int):
 
 
 def _simulate_sweeps(raw: np.ndarray, nbr: np.ndarray, S: int) -> np.ndarray:
-    """Exact host mirror of the device exchange sweeps (integer arithmetic)."""
+    """Exact host mirror of the device exchange sweeps (integer arithmetic).
+    Works for any same-size block bucket (K^3 patches or single cells)."""
     up = raw.copy()
     NP = up.shape[0]
     for d in range(3):
@@ -247,6 +250,22 @@ def build_hybrid_format(
     owner = np.zeros(n_slots)
     owner[order[first]] = 1.0
 
+    # singleton-singleton face neighbours (their own sweep bucket)
+    nbr_s = np.full((6, NS), -1, dtype=np.int64)
+    if NS:
+        skey = {}
+        for j, c in enumerate(single_cells):
+            skey[(int(mesh.level[c]), int(mesh.anchor[c, 0]),
+                  int(mesh.anchor[c, 1]), int(mesh.anchor[c, 2]))] = j
+        for j, c in enumerate(single_cells):
+            l = int(mesh.level[c])
+            a = mesh.anchor[c]
+            for d in range(3):
+                for side, row in ((0, 2 * d), (1, 2 * d + 1)):
+                    q = [l, int(a[0]), int(a[1]), int(a[2])]
+                    q[d + 1] += 1 if side else -1
+                    nbr_s[row, j] = skey.get(tuple(q), -1)
+
     # regular/irregular classification by exact simulation
     rng = np.random.default_rng(12345)
     raw = rng.integers(1, 1 << 40, size=n_slots).astype(np.int64)
@@ -256,9 +275,30 @@ def build_hybrid_format(
     if NP:
         up = _simulate_sweeps(raw[: NP * S**3].reshape(NP, S, S, S), nbr, S)
         swept[: NP * S**3] = up.reshape(-1)
-    ok_slot = swept == group_sum[slot_dof]
-    dof_regular = np.ones(dofh.n_dofs, dtype=bool)
-    np.logical_and.at(dof_regular, slot_dof, ok_slot)
+
+    def classify(swept_arr):
+        ok_slot = swept_arr == group_sum[slot_dof]
+        reg = np.ones(dofh.n_dofs, dtype=bool)
+        np.logical_and.at(reg, slot_dof, ok_slot)
+        return reg
+
+    reg_without = classify(swept)
+    use_singleton_sweeps = False
+    dof_regular = reg_without
+    if NS:
+        n1 = p + 1
+        swept2 = swept.copy()
+        us = _simulate_sweeps(
+            raw[NP * S**3 :].reshape(NS, n1, n1, n1), nbr_s, n1
+        )
+        swept2[NP * S**3 :] = us.reshape(-1)
+        reg_with = classify(swept2)
+        # enable only when the saved irregular work clearly exceeds the cost
+        # of the extra six plane sweeps over the singleton bucket
+        saved = int(reg_with.sum() - reg_without.sum())
+        if saved * 4 > 10 * NS:
+            use_singleton_sweeps = True
+            dof_regular = reg_with
     irr_dofs = np.nonzero(~dof_regular)[0]
 
     # irregular groups: all slots of each irregular dof
@@ -293,6 +333,8 @@ def build_hybrid_format(
         patch_cells=p_cells,
         patch_dof=patch_dof,
         nbr=nbr,
+        nbr_s=nbr_s,
+        use_singleton_sweeps=use_singleton_sweeps,
         single_cells=single_cells,
         slot_dof=slot_dof,
         rep_slot=rep_slot,
@@ -334,6 +376,8 @@ class HybridOperator:
     # exchange
     nbr: jax.Array           # i32 [6, NP] clamped
     nbr_mask: jax.Array      # f [6, NP]
+    snbr: jax.Array          # i32 [6, NS] clamped (singleton sweeps)
+    snbr_mask: jax.Array     # f [6, NS]
     # size-bucketed irregular groups: ((slots [G_s, s], out_slots, out_group), ...)
     irr_buckets: tuple
     # constraints — zero/set ops are elementwise masks (cheap on TPU);
@@ -359,6 +403,7 @@ class HybridOperator:
     sf_E1: jax.Array               # [S, sub] 1D h-embedding
     sf_slave_keep: jax.Array       # f [n_slots]: 0 on structured-slave slots
     # static
+    use_ssweep: bool
     NP: int
     NS: int
     S: int
@@ -445,13 +490,11 @@ class HybridOperator:
         """Sum duplicated slots: irregular group sums (from raw values), then
         structured plane sweeps, then overwrite irregular slots."""
         sums = [r[slots].sum(-1) for slots, _, _ in self.irr_buckets]
-        if self.NP:
-            S = self.S
-            up = r[: self.patch_slots].reshape(self.NP, S, S, S)
+        def sweeps(up, nbr, nbr_mask, S):
             for d in range(3):
                 axis = d + 1
-                lo_n, hi_n = self.nbr[2 * d], self.nbr[2 * d + 1]
-                lo_m, hi_m = self.nbr_mask[2 * d], self.nbr_mask[2 * d + 1]
+                lo_n, hi_n = nbr[2 * d], nbr[2 * d + 1]
+                lo_m, hi_m = nbr_mask[2 * d], nbr_mask[2 * d + 1]
                 sl_top = [slice(None)] * 4
                 sl_top[axis] = S - 1
                 sl_bot = [slice(None)] * 4
@@ -461,7 +504,20 @@ class HybridOperator:
                 add_hi = up[tuple([hi_n] + sl_bot[1:])] * hi_m.reshape(bshape)
                 up = up.at[tuple(sl_bot)].add(add_lo)
                 up = up.at[tuple(sl_top)].add(add_hi)
+            return up
+
+        if self.NP:
+            S = self.S
+            up = r[: self.patch_slots].reshape(self.NP, S, S, S)
+            up = sweeps(up, self.nbr, self.nbr_mask, S)
             r = r.at[: self.patch_slots].set(up.reshape(-1))
+        if self.NS and self.use_ssweep:
+            n1 = round(self.nloc ** (1 / 3))
+            while n1**3 < self.nloc:
+                n1 += 1
+            us = r[self.patch_slots :].reshape(self.NS, n1, n1, n1)
+            us = sweeps(us, self.snbr, self.snbr_mask, n1)
+            r = r.at[self.patch_slots :].set(us.reshape(-1))
         for (slots, out_slots, out_group), s in zip(self.irr_buckets, sums):
             r = r.at[out_slots].set(s[out_group].astype(r.dtype))
         return r
@@ -504,14 +560,14 @@ jax.tree_util.register_dataclass(
     HybridOperator,
     data_fields=[
         "KS", "MS", "elem", "pscale", "sscale", "nbr", "nbr_mask",
-        "irr_buckets",
+        "snbr", "snbr_mask", "irr_buckets",
         "dirichlet_keep", "slave_keep", "constrained_keep",
         "slave_master_slots", "slave_w",
         "slave_all_slots", "slave_all_src", "slave_rep",
         "ct_target", "ct_src", "ct_w", "refresh_slots", "refresh_src", "owner",
         "sf_buckets", "sf_E1", "sf_slave_keep",
     ],
-    meta_fields=["sf_meta", "NP", "NS", "S", "nloc", "n_slots", "n_dofs"],
+    meta_fields=["sf_meta", "use_ssweep", "NP", "NS", "S", "nloc", "n_slots", "n_dofs"],
 )
 
 
@@ -662,6 +718,8 @@ def make_hybrid_operator(
         sscale=jnp.asarray(h_s, dtype),
         nbr=jnp.asarray(np.maximum(fmt.nbr, 0), jnp.int32),
         nbr_mask=jnp.asarray((fmt.nbr >= 0).astype(np.float64), dtype),
+        snbr=jnp.asarray(np.maximum(fmt.nbr_s, 0), jnp.int32),
+        snbr_mask=jnp.asarray((fmt.nbr_s >= 0).astype(np.float64), dtype),
         irr_buckets=tuple(irr_buckets),
         dirichlet_keep=jnp.asarray(dirichlet_keep, dtype),
         slave_keep=jnp.asarray(slave_keep, dtype),
@@ -681,6 +739,7 @@ def make_hybrid_operator(
         refresh_slots=jnp.asarray(refresh_slots, jnp.int32),
         refresh_src=jnp.asarray(refresh_src, jnp.int32),
         owner=jnp.asarray(fmt.owner, dtype),
+        use_ssweep=fmt.use_singleton_sweeps,
         sf_buckets=tuple(sf_buckets),
         sf_meta=tuple(sf_meta),
         sf_E1=jnp.asarray(E1, dtype),
