@@ -64,7 +64,8 @@ def run_config(params: RunParameters, table: ConvergenceTable) -> None:
     table.add_value("time_cg", result.time / max(result.n_iterations, 1))
     table.add_value("throughput", result.throughput)
 
-    if params.verbose and result.mg is not None and result.rhs_used is not None:
+    profile = getattr(params, "profile_phases", False)
+    if profile and result.mg is not None and result.rhs_used is not None:
         from dealii_multigrid_tpu.utils.phases import profile_v_cycle
 
         level_dtype = api.number_dtype(params.mg_number_type)

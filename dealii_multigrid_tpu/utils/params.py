@@ -79,6 +79,7 @@ class RunParameters:
     min_level: int = -1
     min_n_cells: int = -1
     dim: int = 3
+    profile_phases: bool = False  # per-phase MG timing table (extra compiles)
     number_type: str = "double"  # outer solve Number (reference: run<3,1,double,*>)
     mg_data: MultigridParameters = field(default_factory=MultigridParameters)
 
@@ -143,4 +144,5 @@ class RunParameters:
             p.mg_data.do_parameter_study = as_bool(get("DoParameterStudy"), False)
         if "NRepetitions" in raw:
             p.mg_data.n_repetitions = as_int(get("NRepetitions"), 5)
+        p.profile_phases = as_bool(get("ProfilePhases"), False)
         return p

@@ -99,3 +99,26 @@ def test_local_smoothing_variants(typ):
         assert rres < 1.1e-4
         counts.append(res.n_iterations)
     assert max(counts) <= 8 and abs(counts[0] - counts[1]) <= 2
+
+
+def test_smoothed_aggregation_amg():
+    """Native SA-AMG (solvers/amg.py) as a CG preconditioner."""
+    import numpy as np
+    from dealii_multigrid_tpu.mesh import generators as G
+    from dealii_multigrid_tpu.mesh import dof as D
+    from dealii_multigrid_tpu.ops import operator as OP
+    from dealii_multigrid_tpu.solvers.amg import build_amg
+    from dealii_multigrid_tpu.solvers.cg import cg_solve
+    from dealii_multigrid_tpu.solvers.coarse import assemble_sparse_matrix
+
+    m = G.create_quadrant(3, 3)
+    h = D.distribute_dofs(m, 2)
+    c = D.make_hanging_node_constraints(h)
+    A = assemble_sparse_matrix(h, c)
+    amg = build_amg(A, dtype=jnp.float64, coarse_size=100)
+    assert len(amg.levels) >= 2  # genuinely multilevel
+    op = OP.make_operator(h, c, dtype=jnp.float64)
+    b = jnp.asarray(np.random.default_rng(0).normal(size=h.n_dofs))
+    b = b.at[op.constrained].set(0)
+    res = cg_solve(op.vmult, b, preconditioner=amg.vmult, reltol=1e-8, maxiter=100)
+    assert bool(res.converged) and int(res.n_iterations) < 60
