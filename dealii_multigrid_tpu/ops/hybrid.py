@@ -348,8 +348,12 @@ def build_hybrid_format(
 def slots_of(fmt: HybridFormat, dofs: np.ndarray):
     """All slots of each dof: (padded [n, Km] with pad=n_slots, flat list,
     group index per flat entry)."""
-    order = np.argsort(fmt.slot_dof, kind="stable")
-    sd = fmt.slot_dof[order]
+    cached = getattr(fmt, "_slot_order_cache", None)
+    if cached is None:
+        order = np.argsort(fmt.slot_dof, kind="stable")
+        cached = (order, fmt.slot_dof[order])
+        fmt._slot_order_cache = cached
+    order, sd = cached
     starts = np.searchsorted(sd, dofs)
     ends = np.searchsorted(sd, dofs, side="right")
     counts = ends - starts
