@@ -101,9 +101,14 @@ def main(argv: list[str] | None = None) -> int:
     if not argv:
         print("usage: python -m dealii_multigrid_tpu.cli input_0001.json [...]")
         return 1
+    configs = [RunParameters.parse(path) for path in argv]
+    if any(p.number_type in ("double", "mixed") or p.mg_number_type == "double"
+           for p in configs):
+        import jax
+
+        jax.config.update("jax_enable_x64", True)
     table = ConvergenceTable()
-    for path in argv:
-        params = RunParameters.parse(path)
+    for params in configs:
         run_config(params, table)
         table.write_text()
     return 0
