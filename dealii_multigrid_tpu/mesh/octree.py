@@ -124,6 +124,8 @@ class AdaptiveMesh:
         self.level = self.level[order]
         self.anchor = self.anchor[order]
         self._codes = {}
+        if hasattr(self, "_mgtpu_active_lookup"):
+            del self._mgtpu_active_lookup  # invalidate cached lookups on mutation
 
     def _level_codes(self, l: int) -> np.ndarray:
         """Sorted Morton codes of active cells at exactly level l."""

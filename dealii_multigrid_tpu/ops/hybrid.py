@@ -897,12 +897,11 @@ def find_structured_faces(fmt: HybridFormat, hang_slave: np.ndarray):
     return buckets, covered
 
 
-_lookup_cache = {}
-
-
 def _active_lookup_cache(mesh):
-    k = id(mesh)
-    if k not in _lookup_cache:
+    # cache ON the mesh instance (an id()-keyed global dict would collide
+    # when ids are recycled after garbage collection)
+    find = getattr(mesh, "_mgtpu_active_lookup", None)
+    if find is None:
         idx = mesh.active_index()
 
         def find(level, anchors):
@@ -911,8 +910,8 @@ def _active_lookup_cache(mesh):
             pos = np.searchsorted(codes_sorted, q)
             return gidx[np.minimum(pos, len(codes_sorted) - 1)]
 
-        _lookup_cache[k] = find
-    return _lookup_cache[k]
+        mesh._mgtpu_active_lookup = find
+    return find
 
 
 def _face_slicer(S: int, d: int, side: int):
