@@ -354,7 +354,7 @@ class HybridLevel:
         return flat[self.to_global_idx]
 
 
-def build_level_hybrid(mesh: AdaptiveMesh, degree: int, dtype, K: int = 4) -> HybridLevel:
+def build_level_hybrid(mesh: AdaptiveMesh, degree: int, dtype, K: int = 8) -> HybridLevel:
     dofh = distribute_dofs(mesh, degree)
     hanging = make_hanging_node_constraints(dofh)
     fmt = _hy.build_hybrid_format(dofh, K=K)

@@ -180,7 +180,7 @@ def _simulate_sweeps(raw: np.ndarray, nbr: np.ndarray, S: int) -> np.ndarray:
 
 
 def build_hybrid_format(
-    dofh: DoFHandler, K: int = 4, min_patches: int = 2
+    dofh: DoFHandler, K: int = 8, min_patches: int = 2
 ) -> HybridFormat:
     """Build the hybrid layout for one level. 3D only."""
     mesh = dofh.mesh
