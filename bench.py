@@ -18,8 +18,6 @@ import time
 def main() -> int:
     import jax
 
-    jax.config.update("jax_enable_x64", True)  # double outer CG (reference parity)
-
     from dealii_multigrid_tpu import api
     from dealii_multigrid_tpu.mesh import generators
     from dealii_multigrid_tpu.utils.params import RunParameters
@@ -29,7 +27,10 @@ def main() -> int:
     params.geometry_type = "quadrant"
     params.n_ref_global = 6
     params.fe_degree_fine = 4  # north-star config is p=4
-    params.number_type = "double"
+    # f32 outer CG with full-precision (3-pass bf16) contractions matches the
+    # double-outer iteration counts at rtol 1e-4 (see DESIGN.md); double stays
+    # available for tighter tolerances.
+    params.number_type = "float"
     params.mg_number_type = "float"
     params.mg_data.coarse_solver.type = "amg"
     params.mg_data.smoother.degree = 3

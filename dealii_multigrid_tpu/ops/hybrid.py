@@ -40,6 +40,11 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..mesh.dof import Constraints, DoFHandler, local_node_indices
+
+# XLA TPU's DEFAULT f32 matmul precision truncates inputs to bf16; that
+# destroys CG convergence (measured: 3 -> 9 iterations).  All contractions in
+# the compute path request full-precision f32 (3-pass bf16 on the MXU).
+HIGHEST = jax.lax.Precision.HIGHEST
 from ..mesh.octree import AdaptiveMesh, morton_encode
 from . import element, tensor
 from .operator import split_boundary_constraints
@@ -427,7 +432,9 @@ class HybridOperator:
         return jnp.zeros(self.n_slots, self.dtype)
 
     def dot(self, x: jax.Array, y: jax.Array) -> jax.Array:
-        return jnp.vdot(x * self.owner, y)
+        # elementwise multiply + sum: full-precision VPU reduction (jnp.vdot
+        # would route through the MXU at bf16 input precision)
+        return jnp.sum(x * self.owner * y)
 
     # ------------------------------------------------------------ constraints
     def apply_c(self, x: jax.Array) -> jax.Array:
@@ -451,7 +458,9 @@ class HybridOperator:
                         continue
                     sv = x[src_slots]                       # [n, sub, sub]
                     plane = jnp.einsum(
-                        "nsj,is->nij", jnp.einsum("nst,jt->nsj", sv, E1), E1
+                        "nsj,is->nij",
+                        jnp.einsum("nst,jt->nsj", sv, E1, precision=HIGHEST),
+                        E1, precision=HIGHEST,
                     )
                     up = up.at[(fidx,) + _face_slicer(S, d, side)[1:]].set(plane)
                 x = x.at[: self.patch_slots].set(up.reshape(-1))
@@ -472,8 +481,8 @@ class HybridOperator:
         ):
             up = r[: self.patch_slots].reshape(self.NP, S, S, S)
             plane = up[(fidx,) + _face_slicer(S, d, side)[1:]] * mask.astype(r.dtype)
-            tmp = jnp.einsum("nij,is->nsj", plane, E1)
-            contrib = jnp.einsum("nsj,jt->nst", tmp, E1)
+            tmp = jnp.einsum("nij,is->nsj", plane, E1, precision=HIGHEST)
+            contrib = jnp.einsum("nsj,jt->nst", tmp, E1, precision=HIGHEST)
             r = r.at[src_slots.reshape(src_slots.shape[0], -1).reshape(-1)].add(
                 contrib.reshape(-1)
             )
@@ -535,7 +544,10 @@ class HybridOperator:
             up = x[: self.patch_slots].reshape(self.NP, S, S, S)
 
             def ax(u, mat, axis):
-                return jnp.moveaxis(jnp.tensordot(u, mat, axes=([axis], [1])), -1, axis)
+                return jnp.moveaxis(
+                    jnp.tensordot(u, mat, axes=([axis], [1]), precision=HIGHEST),
+                    -1, axis,
+                )
 
             KS, MS = self.KS, self.MS
             kx = ax(ax(ax(up, KS, 1), MS, 2), MS, 3)
@@ -545,7 +557,7 @@ class HybridOperator:
             parts.append(rp.reshape(-1))
         if self.NS:
             xs = x[self.patch_slots :].reshape(self.NS, self.nloc)
-            rs = (xs @ self.elem) * self.sscale[:, None]
+            rs = jnp.matmul(xs, self.elem, precision=HIGHEST) * self.sscale[:, None]
             parts.append(rs.reshape(-1))
         return jnp.concatenate(parts) if len(parts) > 1 else parts[0]
 

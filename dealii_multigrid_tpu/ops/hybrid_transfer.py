@@ -33,8 +33,13 @@ from .hybrid import HybridFormat, HybridOperator, cell_slot_table
 from ..mesh.dof import local_node_indices
 
 
+HIGHEST = jax.lax.Precision.HIGHEST
+
+
 def _axis_apply(u, mat, axis):
-    return jnp.moveaxis(jnp.tensordot(u, mat, axes=([axis], [1])), -1, axis)
+    return jnp.moveaxis(
+        jnp.tensordot(u, mat, axes=([axis], [1]), precision=HIGHEST), -1, axis
+    )
 
 
 @dataclass(frozen=True)
@@ -101,7 +106,7 @@ class HybridTransfer:
         if self.NS_f:
             out_s = jnp.zeros((self.NS_f, self.nloc_f), dtype)
             for sidx, src_slots, M in self.single_buckets:
-                v = uc[src_slots] @ M.T.astype(dtype)
+                v = jnp.matmul(uc[src_slots], M.T.astype(dtype), precision=HIGHEST)
                 out_s = out_s.at[sidx].set(v)
             parts.append(out_s.reshape(-1))
         out = jnp.concatenate(parts) if len(parts) > 1 else parts[0]
@@ -133,7 +138,7 @@ class HybridTransfer:
         if self.NS_f:
             rs = rf[self.fine_patch_slots :].reshape(self.NS_f, self.nloc_f)
             for sidx, src_slots, M in self.single_buckets:
-                v = rs[sidx] @ M.astype(dtype)
+                v = jnp.matmul(rs[sidx], M.astype(dtype), precision=HIGHEST)
                 acc = acc.at[src_slots.reshape(-1)].add(v.reshape(-1))
         acc = cop.apply_ct_faces(acc)
         acc = cop.exchange(acc)

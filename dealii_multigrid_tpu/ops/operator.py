@@ -101,7 +101,9 @@ class LaplaceOperator:
     def cell_apply_raw(self, u: jax.Array) -> jax.Array:
         """A_raw u: the unconstrained FE Laplacian (no constraint algebra)."""
         ucell = u[self.cell_dofs]                                # [nc, nloc]
-        rcell = (ucell @ self.elem) * self.scale[:, None]
+        rcell = jnp.matmul(
+            ucell, self.elem, precision=jax.lax.Precision.HIGHEST
+        ) * self.scale[:, None]
         r = jnp.zeros_like(u)
         return r.at[self.cell_dofs.reshape(-1)].add(rcell.reshape(-1))
 

@@ -60,7 +60,7 @@ class TwoLevelTransfer:
         u = distribute(u_c, self.coarse_hanging)
         out = jnp.zeros(self.n_dofs_fine, u_c.dtype)
         for b in self.buckets:
-            vals = u[self.coarse_cell_dofs[b.coarse_cells]] @ b.matrix.T.astype(u_c.dtype)
+            vals = jnp.matmul(u[self.coarse_cell_dofs[b.coarse_cells]], b.matrix.T.astype(u_c.dtype), precision=jax.lax.Precision.HIGHEST)
             fdofs = self.fine_cell_dofs[b.fine_cells]
             out = out.at[fdofs.reshape(-1)].add(
                 (vals * self.fine_weight[fdofs]).reshape(-1)
@@ -75,7 +75,7 @@ class TwoLevelTransfer:
         rw = r_f * self.fine_weight
         acc = jnp.zeros(self.n_dofs_coarse, r_f.dtype)
         for b in self.buckets:
-            vals = rw[self.fine_cell_dofs[b.fine_cells]] @ b.matrix.astype(r_f.dtype)
+            vals = jnp.matmul(rw[self.fine_cell_dofs[b.fine_cells]], b.matrix.astype(r_f.dtype), precision=jax.lax.Precision.HIGHEST)
             cdofs = self.coarse_cell_dofs[b.coarse_cells]
             acc = acc.at[cdofs.reshape(-1)].add(vals.reshape(-1))
         acc = distribute_transpose(acc, self.coarse_hanging)

@@ -43,7 +43,9 @@ def cg_solve(
     if preconditioner is None:
         preconditioner = lambda r: r
     if dot is None:
-        dot = jnp.vdot
+        # elementwise multiply + VPU reduction: jnp.vdot would go through the
+        # MXU at bf16 input precision on TPU
+        dot = lambda a, b: jnp.sum(a * b)
     norm = lambda v: jnp.sqrt(dot(v, v).real)
     if x0 is None:
         x = jnp.zeros_like(b)

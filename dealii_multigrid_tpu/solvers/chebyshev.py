@@ -49,7 +49,7 @@ def estimate_eigenvalue_range(
     # the HLO small and the compile fast.
     @partial(jax.jit, static_argnames=("n_it", "use_op_dot"))
     def run(op, inv_diag, b, n_it, use_op_dot):
-        dot = op.dot if use_op_dot else jnp.vdot
+        dot = op.dot if use_op_dot else (lambda a, b: jnp.sum(a * b))
         r = b
         z = inv_diag * r
         p = z

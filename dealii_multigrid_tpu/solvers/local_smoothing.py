@@ -96,7 +96,9 @@ class LSLevel:
 
     def cell_apply_raw(self, u):
         ucell = u[self.cell_dofs]
-        rcell = (ucell @ self.elem) * self.scale[:, None]
+        rcell = jnp.matmul(
+            ucell, self.elem, precision=jax.lax.Precision.HIGHEST
+        ) * self.scale[:, None]
         r = jnp.zeros_like(u)
         return r.at[self.cell_dofs.reshape(-1)].add(rcell.reshape(-1))
 
@@ -139,7 +141,7 @@ class LSTransfer:
     def prolong(self, uc):
         out = jnp.zeros(self.n_f, uc.dtype)
         for fc, cc, M in self.buckets:
-            vals = uc[self.coarse_cell_dofs[cc]] @ M.T.astype(uc.dtype)
+            vals = jnp.matmul(uc[self.coarse_cell_dofs[cc]], M.T.astype(uc.dtype), precision=jax.lax.Precision.HIGHEST)
             fd = self.fine_cell_dofs[fc]
             out = out.at[fd.reshape(-1)].add((vals * self.fine_weight[fd]).reshape(-1))
         return out
@@ -148,7 +150,7 @@ class LSTransfer:
         rw = rf * self.fine_weight
         acc = jnp.zeros(self.n_c, rf.dtype)
         for fc, cc, M in self.buckets:
-            vals = rw[self.fine_cell_dofs[fc]] @ M.astype(rf.dtype)
+            vals = jnp.matmul(rw[self.fine_cell_dofs[fc]], M.astype(rf.dtype), precision=jax.lax.Precision.HIGHEST)
             cd = self.coarse_cell_dofs[cc]
             acc = acc.at[cd.reshape(-1)].add(vals.reshape(-1))
         return acc
