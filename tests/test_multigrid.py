@@ -122,3 +122,26 @@ def test_smoothed_aggregation_amg():
     b = b.at[op.constrained].set(0)
     res = cg_solve(op.vmult, b, preconditioner=amg.vmult, reltol=1e-8, maxiter=100)
     assert bool(res.converged) and int(res.n_iterations) < 60
+
+
+def test_2d_solve_global_engine():
+    """dim=2 works through the base engine (the reference templates over dim)."""
+    from dealii_multigrid_tpu.mesh import generators as G
+
+    prm = _params("HMG-global", 4, p=2)
+    prm.dim = 2
+    mesh = G.create("quadrant", 2, 4)
+    res, prob, _ = api.solve_with_global_coarsening(prm, mesh)
+    assert res.converged and res.n_iterations <= 8
+
+
+def test_quadrant_flexible_geometry():
+    """The reference's default GeometryType (grid_generator.h:69-92)."""
+    from dealii_multigrid_tpu.mesh import generators as G
+
+    prm = _params("HMG-global", 2, p=2)
+    prm.geometry_type = "quadrant_flexible"
+    prm.n_ref_local = 2
+    mesh = G.create("quadrant_flexible", 3, 2, 2)
+    res, prob, _ = api.solve_with_global_coarsening_hybrid(prm, mesh)
+    assert res.converged and res.n_iterations <= 8
