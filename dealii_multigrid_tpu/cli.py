@@ -108,9 +108,15 @@ def main(argv: list[str] | None = None) -> int:
 
         jax.config.update("jax_enable_x64", True)
     table = ConvergenceTable()
-    for params in configs:
-        run_config(params, table)
-        table.write_text()
+    # exceptions print and abort with a nonzero exit, mirroring the
+    # reference's try/catch in main (multigrid_throughput.cc:2444-2468)
+    try:
+        for params in configs:
+            run_config(params, table)
+            table.write_text()
+    except Exception as exc:  # noqa: BLE001
+        print(f"error: {type(exc).__name__}: {exc}", file=__import__("sys").stderr)
+        return 1
     return 0
 
 
