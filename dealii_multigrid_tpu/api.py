@@ -315,7 +315,17 @@ def run(params: RunParameters):
     mesh = generators.create(
         params.geometry_type, params.dim, params.n_ref_global, params.n_ref_local
     )
+    return dispatch_solve(params, mesh)
+
+
+def dispatch_solve(params: RunParameters, mesh: AdaptiveMesh):
+    """Single dispatch point for all solver types (used by run() and cli.py):
+    the reference's type switch (multigrid_throughput.cc:2337-2353)."""
     if params.type in ("PMG", "HMG-global", "HPMG"):
+        # the hybrid patch engine is the production path for 3D; 2D runs on
+        # the base gather engine
+        if params.dim == 3:
+            return solve_with_global_coarsening_hybrid(params, mesh)
         return solve_with_global_coarsening(params, mesh)
     if params.type in ("AMG", "AMGPETSc"):
         return solve_with_amg(params, mesh)
@@ -550,7 +560,6 @@ def solve_with_local_smoothing(params: RunParameters, fine_mesh: AdaptiveMesh):
         )
         lsmg = build_local_smoothing_mg(
             ls_fine.dofh,
-            np.asarray(ls_fine.op.constrained),
             params.mg_data,
             dtype=level_dtype,
             min_level=max(params.min_level, 0),
@@ -568,7 +577,6 @@ def solve_with_local_smoothing(params: RunParameters, fine_mesh: AdaptiveMesh):
         ]
         lsmg = build_local_smoothing_mg(
             plevels[0].dofh,
-            np.asarray(plevels[0].op.constrained),
             params.mg_data,
             dtype=level_dtype,
             min_level=max(params.min_level, 0),

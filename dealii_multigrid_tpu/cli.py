@@ -30,20 +30,7 @@ def run_config(params: RunParameters, table: ConvergenceTable) -> None:
     table.add_value("n_ref_global", params.n_ref_global)
     table.add_value("n_ref_local", params.n_ref_local)
 
-    if params.type in ("PMG", "HMG-global", "HPMG"):
-        # the hybrid patch engine is the production path for 3D
-        if params.dim == 3:
-            result, problem, levels = api.solve_with_global_coarsening_hybrid(
-                params, mesh
-            )
-        else:
-            result, problem, levels = api.solve_with_global_coarsening(params, mesh)
-    elif params.type in ("AMG", "AMGPETSc"):
-        result, problem, levels = api.solve_with_amg(params, mesh)
-    elif params.type in ("HMG-local", "HPMG-local"):
-        result, problem, levels = api.solve_with_local_smoothing(params, mesh)
-    else:
-        raise NotImplementedError(params.type)
+    result, problem, levels = api.dispatch_solve(params, mesh)
 
     # hanging-node cell census (reference: multigrid_throughput.cc:2177-2190)
     import numpy as np

@@ -26,14 +26,21 @@ def geometric_coarsening_sequence(
     while seq[-1].max_level > 0:
         seq.append(seq[-1].coarsened())
     seq = seq[::-1]  # coarsest first
-    # level index of seq[i] is i + (n_global_levels - len(seq)) == i here
-    keep = 0
+    # keep from the FIRST tria satisfying the criterion; MinLevel takes
+    # priority over MinNCells (else-if), and the finest mesh always stays
+    # (reference: multigrid_throughput.cc:2232-2253)
+    keep = len(seq) - 1
     for i, m in enumerate(seq[:-1]):
-        level = m.max_level
-        if min_level >= 0 and level < min_level:
-            keep = max(keep, i + 1)
-        if min_n_cells >= 0 and m.n_cells < min_n_cells:
-            keep = max(keep, i + 1)
+        n_global_levels = m.max_level + 1
+        if min_level != -1:
+            ok = min_level <= n_global_levels
+        elif min_n_cells != -1:
+            ok = m.n_cells >= min_n_cells
+        else:
+            ok = True
+        if ok:
+            keep = i
+            break
     return seq[keep:]
 
 
@@ -49,7 +56,8 @@ def polynomial_coarsening_sequence(degree: int, kind: str = "bisect") -> list[in
             seq.append((seq[-1] + 1) // 2)
         return seq[::-1]
     if kind == "go_to_one":
-        return list(range(1, degree + 1))
+        # deal.II's go_to_one is the two-entry sequence [1, degree]
+        return [1, degree] if degree > 1 else [1]
     if kind == "decrease_by_one":
         return list(range(1, degree + 1))
     raise ValueError(f"unknown polynomial coarsening kind {kind!r}")

@@ -885,7 +885,7 @@ def find_structured_faces(fmt: HybridFormat, hang_slave: np.ndarray):
                 for k, (c1, c2) in enumerate(
                     [(a, b) for a in range(half) for b in range(half)]
                 ):
-                    cell = cidx[k * 1 + 0] if False else cidx[c1 * half + c2]
+                    cell = cidx[c1 * half + c2]
                     ii = fl[:, t1] + c1 * p
                     jj = fl[:, t2] + c2 * p
                     plane[ii, jj] = cslot[cell][sel]

@@ -90,3 +90,88 @@ def shard_level_arrays(op: LaplaceOperator, mesh: Mesh) -> LaplaceOperator:
 
 def shard_vector(v: jax.Array, mesh: Mesh) -> jax.Array:
     return jax.device_put(v, NamedSharding(mesh, P(CELL_AXIS)))
+
+
+def replicate(v: jax.Array, mesh: Mesh) -> jax.Array:
+    return jax.device_put(v, NamedSharding(mesh, P()))
+
+
+def dryrun_sharded_solve(
+    n_devices: int,
+    n_ref: int = 3,
+    degree: int = 2,
+    reltol: float = 1e-10,
+) -> float:
+    """Full HMG-global V-cycle-preconditioned CG over an n_devices mesh,
+    asserted equal to the single-device solve.
+
+    The reference's run-the-same-code-at-any-rank-count property (SURVEY §4;
+    multigrid_throughput.cc:2041-2046): the Morton cell-block partition is the
+    p4est SFC partition analog; coarse levels whose cell count drops below the
+    device count are REPLICATED (computed redundantly on every device — the
+    TPU-native form of the reference's shrinking sub-communicators, where idle
+    ranks would waste the hardware instead).  Returns the relative L2
+    difference between the sharded and the single-device solution.
+    """
+    import jax
+
+    jax.config.update("jax_enable_x64", True)
+    import jax.numpy as jnp
+
+    from .. import api
+    from ..mesh import generators
+    from ..mesh.coarsening import geometric_coarsening_sequence
+    from ..models import poisson
+    from ..solvers.cg import cg_solve
+    from ..solvers.multigrid import PreconditionMG
+    from ..utils.params import MultigridParameters
+
+    dtype = jnp.float64
+    mesh0 = generators.create("quadrant", 3, n_ref, 0)
+    tri_seq = geometric_coarsening_sequence(mesh0)
+    plan = api.gc_level_plan("HMG-global", tri_seq, degree)
+    mg_data = MultigridParameters()
+    mg_data.smoother.degree = 3
+    mg_data.coarse_solver.type = "amg"
+
+    def build_and_solve(dmesh: Mesh | None):
+        levels = [api.build_level(m, d, dtype) for m, d in plan]
+        fine = levels[-1]
+        problem = poisson.make_problem(
+            fine.dofh, fine.hanging, fine.op, "Gaussian"
+        )
+        mg, _ = api.build_gc_preconditioner(levels, mg_data, dtype, dtype)
+        precond = PreconditionMG(mg, dtype)
+        rhs = problem.rhs
+
+        if dmesh is None:
+            constrain = lambda v: v
+        else:
+            # the scaling-book recipe: annotate the sharding, let XLA SPMD
+            # place the collectives (dims need not divide the device count
+            # inside jit)
+            sh = NamedSharding(dmesh, P(CELL_AXIS))
+            constrain = lambda v: jax.lax.with_sharding_constraint(v, sh)
+
+        @jax.jit
+        def solve(fop, pre, b):
+            return cg_solve(
+                fop.vmult,
+                constrain(b),
+                preconditioner=pre.vmult,
+                maxiter=100,
+                reltol=reltol,
+            )
+
+        res = jax.block_until_ready(solve(fine.op, precond, rhs))
+        return np.asarray(res.x), int(res.n_iterations)
+
+    x_ref, it_ref = build_and_solve(None)
+    dmesh = make_device_mesh(n_devices)
+    x_sh, it_sh = build_and_solve(dmesh)
+    rel = float(
+        np.linalg.norm(x_sh - x_ref) / max(np.linalg.norm(x_ref), 1e-300)
+    )
+    assert rel < 1e-8, f"sharded solve diverged from single-device: {rel:e}"
+    assert abs(it_sh - it_ref) <= 1, (it_sh, it_ref)
+    return rel

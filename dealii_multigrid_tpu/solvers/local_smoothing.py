@@ -66,8 +66,6 @@ def _expected_valence(dofh: DoFHandler) -> np.ndarray:
     out = np.zeros(dofh.n_dofs, dtype=np.int64)
     # per (cell, node): factor per axis: 1 if node interior to the cell in
     # that axis, else 2 unless the face is on the domain boundary.
-    for d in range(dim):
-        pass
     anchors = mesh.anchor
     extent = (1 << lvl)[:, None]                   # [ncell, 1]
     fac = np.ones((mesh.n_cells, len(loc)), dtype=np.int64)
@@ -248,15 +246,15 @@ def _octant_matrix(dim: int, degree: int, octant: int) -> np.ndarray:
 
 def build_local_smoothing_mg(
     active_dofh: DoFHandler,
-    global_constrained: np.ndarray,
     mg_data,
     dtype=jnp.float32,
     min_level: int = 0,
 ) -> LocalSmoothingMG:
     """Construct the LS hierarchy for the active mesh (global gather engine).
 
-    ``global_constrained``: indices of constrained DoFs of the ACTIVE mesh
-    (Dirichlet + hanging slaves) — the preconditioner output is zeroed there.
+    Constrained-DoF masking of the preconditioner OUTPUT (Dirichlet + hanging
+    slaves of the active mesh) is the caller's job — see PreconditionLS.keep
+    in api.py.
     """
     active = active_dofh.mesh
     p = active_dofh.degree

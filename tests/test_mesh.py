@@ -77,8 +77,15 @@ def test_geometric_coarsening_sequence():
         check_balance(mk)
         vol = np.sum((1.0 / (1 << mk.level.astype(np.int64))) ** 3)
         assert abs(vol - 1.0) < 1e-12
-    # truncation controls
+    # truncation controls: MinLevel is a minimum number of levels — keep from
+    # the first tria with n_global_levels >= MinLevel; MinLevel takes priority
+    # over MinNCells (reference multigrid_throughput.cc:2232-2253)
     seq2 = geometric_coarsening_sequence(m, min_level=2)
-    assert seq2[0].max_level == 2
+    assert seq2[0].max_level + 1 == 2
     seq3 = geometric_coarsening_sequence(m, min_n_cells=10)
-    assert all(mm.n_cells >= 10 for mm in seq3[:-1])
+    assert seq3[0].n_cells >= 10
+    assert seq3[0].max_level == next(
+        mm for mm in seq if mm.n_cells >= 10
+    ).max_level
+    seq4 = geometric_coarsening_sequence(m, min_level=2, min_n_cells=10**9)
+    assert seq4[0].max_level + 1 == 2  # MinLevel wins over MinNCells

@@ -74,3 +74,12 @@ def test_sharded_cg_matches_single_device():
     assert np.allclose(
         np.asarray(res.x[: lv.dofh.n_dofs]), np.asarray(res1.x), atol=1e-10
     )
+
+
+def test_sharded_mg_matches_single_device():
+    """Full HMG-global V-cycle CG on an 8-device mesh == single-device solve
+    (the reference's any-rank-count property, SURVEY §4)."""
+    from dealii_multigrid_tpu.parallel.sharding import dryrun_sharded_solve
+
+    rel = dryrun_sharded_solve(8)
+    assert rel < 1e-8
