@@ -358,16 +358,21 @@ class HybridLevel:
     to_global_idx: jax.Array     # i32 [n_dofs]
 
     def from_global(self, u: jax.Array) -> jax.Array:
-        return u[self.from_global_idx]
+        # dummy slots carry the sentinel dof id n_dofs -> read exact zero
+        return jnp.concatenate([u, jnp.zeros(1, u.dtype)])[self.from_global_idx]
 
     def to_global(self, flat: jax.Array) -> jax.Array:
         return flat[self.to_global_idx]
 
 
-def build_level_hybrid(mesh: AdaptiveMesh, degree: int, dtype, K: int = 8) -> HybridLevel:
+def build_level_hybrid(
+    mesh: AdaptiveMesh, degree: int, dtype, K: int = 8, n_shards: int = 1
+) -> HybridLevel:
     dofh = distribute_dofs(mesh, degree)
     hanging = make_hanging_node_constraints(dofh)
     fmt = _hy.build_hybrid_format(dofh, K=K)
+    if n_shards > 1:
+        fmt = _hy.repartition_format(fmt, n_shards)
     op = _hy.make_hybrid_operator(fmt, hanging, dtype=dtype)
     diag = compute_diagonal(dofh, hanging)
     inv_diag = jnp.asarray(fmt.from_global(1.0 / diag), dtype=dtype)

@@ -65,21 +65,31 @@ def _assembled_1d(mat: np.ndarray, K: int, degree: int) -> np.ndarray:
 
 @dataclass
 class HybridFormat:
-    """Host-side description of the hybrid slot layout for one level."""
+    """Host-side description of the hybrid slot layout for one level.
+
+    DEVICE-MAJOR layout (n_shards = D >= 1): patch and singleton counts are
+    padded to multiples of D (dummy patches have level -1, dummy singletons
+    cell id -1, and their slots carry the sentinel dof id n_dofs).  The flat
+    slot vector is the concatenation of D equal spans, each holding that
+    shard's patches followed by its singletons — so an even block partition
+    of the flat axis over a jax device mesh puts whole patches on devices
+    (the Morton-block partition = the p4est SFC partition analog).  D = 1 is
+    the plain single-device layout.
+    """
 
     dofh: DoFHandler
     K: int
     S: int
     # patch bucket
-    patch_level: np.ndarray      # [NP]
+    patch_level: np.ndarray      # [NP] (-1 for padding dummies)
     patch_block: np.ndarray      # [NP, 3] block anchor (units of K cells)
     patch_cells: np.ndarray      # [NP, K^3] global cell ids (block-local x-fastest)
     patch_dof: np.ndarray        # [NP, S, S, S] global dof (axes: x, y, z)
     nbr: np.ndarray              # [6, NP] same-level face neighbour patch (or -1)
     # singleton bucket
-    single_cells: np.ndarray     # [NS]
+    single_cells: np.ndarray     # [NS] (-1 for padding dummies)
     # slots
-    slot_dof: np.ndarray         # [n_slots]
+    slot_dof: np.ndarray         # [n_slots] (sentinel n_dofs on dummy slots)
     rep_slot: np.ndarray         # [n_dofs]
     owner: np.ndarray            # [n_slots] 1.0 on exactly one slot per dof
     nbr_s: np.ndarray            # [6, NS] singleton face-neighbour singleton (or -1)
@@ -88,6 +98,7 @@ class HybridFormat:
     irr_slots: np.ndarray        # [G, Kg] slot ids (pad: n_slots)
     irr_out_slots: np.ndarray    # [W] slots to overwrite
     irr_out_group: np.ndarray    # [W] group index per overwrite target
+    n_shards: int = 1
 
     @property
     def n_patches(self) -> int:
@@ -105,11 +116,165 @@ class HybridFormat:
     def patch_slots(self) -> int:
         return self.n_patches * self.S**3
 
+    # ---- device-major layout geometry ----
+    @property
+    def patches_per_shard(self) -> int:
+        return self.n_patches // self.n_shards
+
+    @property
+    def singles_per_shard(self) -> int:
+        return self.n_singles // self.n_shards
+
+    @property
+    def shard_span(self) -> int:
+        return (
+            self.patches_per_shard * self.S**3
+            + self.singles_per_shard * self.dofh.n_loc
+        )
+
+    def patch_slot_base(self, i):
+        """First flat slot of patch i (vectorised)."""
+        pps = max(self.patches_per_shard, 1)
+        return (i // pps) * self.shard_span + (i % pps) * self.S**3
+
+    def single_slot_base(self, j):
+        """First flat slot of singleton j (vectorised)."""
+        sps = max(self.singles_per_shard, 1)
+        nloc = self.dofh.n_loc
+        return (
+            (j // sps) * self.shard_span
+            + self.patches_per_shard * self.S**3
+            + (j % sps) * nloc
+        )
+
     def from_global(self, u: np.ndarray) -> np.ndarray:
-        return u[self.slot_dof]
+        u = np.asarray(u)
+        # dummy slots carry the sentinel dof id n_dofs -> read exact zero
+        return np.concatenate([u, np.zeros(1, u.dtype)])[self.slot_dof]
 
     def to_global(self, flat: np.ndarray) -> np.ndarray:
         return flat[self.rep_slot]
+
+
+def repartition_format(fmt: HybridFormat, n_shards: int) -> HybridFormat:
+    """Re-lay a single-device HybridFormat into the device-major layout for
+    ``n_shards`` devices (see HybridFormat docstring).  Patch/singleton
+    INDICES are unchanged (dummies are appended), so every patch-indexed
+    table stays valid; all flat SLOT ids are permuted."""
+    if n_shards == 1:
+        return fmt
+    assert fmt.n_shards == 1, "repartition from the single-device layout"
+    D = n_shards
+    S, nloc = fmt.S, fmt.dofh.n_loc
+    NP, NS = fmt.n_patches, fmt.n_singles
+    NPp = -(-NP // D) * D if NP else 0
+    NSp = -(-NS // D) * D if NS else 0
+    pad_p, pad_s = NPp - NP, NSp - NS
+
+    patch_level = np.concatenate([fmt.patch_level, np.full(pad_p, -1, np.int32)])
+    patch_block = np.concatenate(
+        [fmt.patch_block, np.full((pad_p, 3), np.iinfo(np.int64).min // 2, np.int64)]
+    )
+    kcells = fmt.patch_cells.shape[1] if fmt.patch_cells.ndim == 2 else 1
+    patch_cells = np.concatenate(
+        [fmt.patch_cells, np.full((pad_p, kcells), -1, np.int64)]
+    )
+    patch_dof = np.concatenate(
+        [fmt.patch_dof, np.zeros((pad_p, S, S, S), np.int64)]
+    )
+    nbr = np.concatenate([fmt.nbr, np.full((6, pad_p), -1, np.int64)], axis=1)
+    single_cells = np.concatenate([fmt.single_cells, np.full(pad_s, -1, np.int64)])
+    nbr_s = np.concatenate([fmt.nbr_s, np.full((6, pad_s), -1, np.int64)], axis=1)
+
+    pps, sps = NPp // D, NSp // D
+    span = pps * S**3 + sps * nloc
+    # perm: old flat slot id -> new flat slot id
+    if NP:
+        i = np.repeat(np.arange(NP, dtype=np.int64), S**3)
+        t = np.tile(np.arange(S**3, dtype=np.int64), NP)
+        perm_p = (i // pps) * span + (i % pps) * S**3 + t
+    else:
+        perm_p = np.zeros(0, np.int64)
+    if NS:
+        j = np.repeat(np.arange(NS, dtype=np.int64), nloc)
+        u = np.tile(np.arange(nloc, dtype=np.int64), NS)
+        perm_s = (j // sps) * span + pps * S**3 + (j % sps) * nloc + u
+    else:
+        perm_s = np.zeros(0, np.int64)
+    perm = np.concatenate([perm_p, perm_s])
+    n_slots_new = D * span
+
+    sentinel = fmt.dofh.n_dofs
+    slot_dof = np.full(n_slots_new, sentinel, np.int64)
+    slot_dof[perm] = fmt.slot_dof
+    rep_slot = perm[fmt.rep_slot]
+    owner = np.zeros(n_slots_new)
+    owner[perm] = fmt.owner
+    perm_ext = np.concatenate([perm, np.asarray([n_slots_new], np.int64)])
+    irr_slots = perm_ext[fmt.irr_slots] if fmt.irr_slots.size else fmt.irr_slots
+    irr_out_slots = (
+        perm[fmt.irr_out_slots] if fmt.irr_out_slots.size else fmt.irr_out_slots
+    )
+
+    return HybridFormat(
+        dofh=fmt.dofh,
+        K=fmt.K,
+        S=S,
+        patch_level=patch_level,
+        patch_block=patch_block,
+        patch_cells=patch_cells,
+        patch_dof=patch_dof,
+        nbr=nbr,
+        single_cells=single_cells,
+        slot_dof=slot_dof,
+        rep_slot=rep_slot,
+        owner=owner,
+        nbr_s=nbr_s,
+        use_singleton_sweeps=fmt.use_singleton_sweeps,
+        irr_slots=irr_slots,
+        irr_out_slots=irr_out_slots,
+        irr_out_group=fmt.irr_out_group,
+        n_shards=D,
+    )
+
+
+# ---------------------------------------------------------------------------
+# device-side flat <-> bucket conversion (device-major layout aware)
+# ---------------------------------------------------------------------------
+
+
+def unpack_patches(x: jax.Array, D: int, NP: int, S: int):
+    """Flat slot vector -> [NP, S, S, S] patch lattice view."""
+    pp = (NP // D) * S**3
+    return x.reshape(D, -1)[:, :pp].reshape(NP, S, S, S)
+
+
+def unpack_singles(x: jax.Array, D: int, NP: int, S: int, NS: int, nloc: int):
+    pp = (NP // D) * S**3
+    return x.reshape(D, -1)[:, pp:].reshape(NS, nloc)
+
+
+def with_patches(x: jax.Array, up: jax.Array, D: int, NP: int, S: int):
+    pp = (NP // D) * S**3
+    xa = x.reshape(D, -1)
+    return xa.at[:, :pp].set(up.reshape(D, -1)).reshape(-1)
+
+
+def with_singles(x: jax.Array, us: jax.Array, D: int, NP: int, S: int):
+    pp = (NP // D) * S**3
+    xa = x.reshape(D, -1)
+    return xa.at[:, pp:].set(us.reshape(D, -1)).reshape(-1)
+
+
+def pack_buckets(up, us, D: int):
+    """[NP,S,S,S] (+ optional [NS,nloc]) -> flat slot vector."""
+    if us is None:
+        return up.reshape(-1)
+    if up is None:
+        return us.reshape(-1)
+    return jnp.concatenate(
+        [up.reshape(D, -1), us.reshape(D, -1)], axis=1
+    ).reshape(-1)
 
 
 def _find_patches(mesh: AdaptiveMesh, K: int):
@@ -419,6 +584,7 @@ class HybridOperator:
     nloc: int
     n_slots: int
     n_dofs: int
+    n_shards: int = 1
 
     @property
     def dtype(self):
@@ -427,6 +593,19 @@ class HybridOperator:
     @property
     def patch_slots(self) -> int:
         return self.NP * self.S**3
+
+    # device-major layout accessors
+    def _patches(self, x: jax.Array) -> jax.Array:
+        return unpack_patches(x, self.n_shards, self.NP, self.S)
+
+    def _singles(self, x: jax.Array) -> jax.Array:
+        return unpack_singles(x, self.n_shards, self.NP, self.S, self.NS, self.nloc)
+
+    def _with_patches(self, x: jax.Array, up: jax.Array) -> jax.Array:
+        return with_patches(x, up, self.n_shards, self.NP, self.S)
+
+    def _with_singles(self, x: jax.Array, us: jax.Array) -> jax.Array:
+        return with_singles(x, us, self.n_shards, self.NP, self.S)
 
     def new_vector(self) -> jax.Array:
         return jnp.zeros(self.n_slots, self.dtype)
@@ -450,7 +629,7 @@ class HybridOperator:
             # the fine side of a deeper hanging interface)
             levels = sorted({m[0] for m in self.sf_meta})
             for lev in levels:
-                up = x[: self.patch_slots].reshape(self.NP, S, S, S)
+                up = self._patches(x)
                 for (l, d, side), (fidx, src_slots, _m) in zip(
                     self.sf_meta, self.sf_buckets
                 ):
@@ -463,7 +642,7 @@ class HybridOperator:
                         E1, precision=HIGHEST,
                     )
                     up = up.at[(fidx,) + _face_slicer(S, d, side)[1:]].set(plane)
-                x = x.at[: self.patch_slots].set(up.reshape(-1))
+                x = self._with_patches(x, up)
             x = x * self.dirichlet_keep
         return x
 
@@ -479,7 +658,7 @@ class HybridOperator:
         for (l, d, side), (fidx, src_slots, mask) in reversed(
             list(zip(self.sf_meta, self.sf_buckets))
         ):
-            up = r[: self.patch_slots].reshape(self.NP, S, S, S)
+            up = self._patches(r)
             plane = up[(fidx,) + _face_slicer(S, d, side)[1:]] * mask.astype(r.dtype)
             tmp = jnp.einsum("nij,is->nsj", plane, E1, precision=HIGHEST)
             contrib = jnp.einsum("nsj,jt->nst", tmp, E1, precision=HIGHEST)
@@ -513,24 +692,27 @@ class HybridOperator:
                 sl_bot = [slice(None)] * 4
                 sl_bot[axis] = 0
                 bshape = (-1,) + (1,) * 2
-                add_lo = up[tuple([lo_n] + sl_top[1:])] * lo_m.reshape(bshape)
-                add_hi = up[tuple([hi_n] + sl_bot[1:])] * hi_m.reshape(bshape)
+                # pre-slice the face planes so the cross-patch gather touches
+                # a SURFACE-sized array (under sharding this is the halo
+                # exchange: an all-gather of face planes, never the volume)
+                top = up[tuple(sl_top)]
+                bot = up[tuple(sl_bot)]
+                add_lo = top[lo_n] * lo_m.reshape(bshape)
+                add_hi = bot[hi_n] * hi_m.reshape(bshape)
                 up = up.at[tuple(sl_bot)].add(add_lo)
                 up = up.at[tuple(sl_top)].add(add_hi)
             return up
 
         if self.NP:
-            S = self.S
-            up = r[: self.patch_slots].reshape(self.NP, S, S, S)
-            up = sweeps(up, self.nbr, self.nbr_mask, S)
-            r = r.at[: self.patch_slots].set(up.reshape(-1))
+            up = sweeps(self._patches(r), self.nbr, self.nbr_mask, self.S)
+            r = self._with_patches(r, up)
         if self.NS and self.use_ssweep:
             n1 = round(self.nloc ** (1 / 3))
             while n1**3 < self.nloc:
                 n1 += 1
-            us = r[self.patch_slots :].reshape(self.NS, n1, n1, n1)
+            us = self._singles(r).reshape(self.NS, n1, n1, n1)
             us = sweeps(us, self.snbr, self.snbr_mask, n1)
-            r = r.at[self.patch_slots :].set(us.reshape(-1))
+            r = self._with_singles(r, us)
         for (slots, out_slots, out_group), s in zip(self.irr_buckets, sums):
             r = r.at[out_slots].set(s[out_group].astype(r.dtype))
         return r
@@ -538,10 +720,9 @@ class HybridOperator:
     # ------------------------------------------------------------------ apply
     def cell_apply_raw(self, x: jax.Array) -> jax.Array:
         """Per-patch stencil + per-singleton GEMM; result is pre-exchange."""
-        parts = []
+        rp = rs = None
         if self.NP:
-            S = self.S
-            up = x[: self.patch_slots].reshape(self.NP, S, S, S)
+            up = self._patches(x)
 
             def ax(u, mat, axis):
                 return jnp.moveaxis(
@@ -554,12 +735,10 @@ class HybridOperator:
             ky = ax(ax(ax(up, MS, 1), KS, 2), MS, 3)
             kz = ax(ax(ax(up, MS, 1), MS, 2), KS, 3)
             rp = (kx + ky + kz) * self.pscale[:, None, None, None]
-            parts.append(rp.reshape(-1))
         if self.NS:
-            xs = x[self.patch_slots :].reshape(self.NS, self.nloc)
+            xs = self._singles(x)
             rs = jnp.matmul(xs, self.elem, precision=HIGHEST) * self.sscale[:, None]
-            parts.append(rs.reshape(-1))
-        return jnp.concatenate(parts) if len(parts) > 1 else parts[0]
+        return pack_buckets(rp, rs, self.n_shards)
 
     def vmult(self, x: jax.Array) -> jax.Array:
         r = self.cell_apply_raw(self.apply_c(x))
@@ -583,7 +762,7 @@ jax.tree_util.register_dataclass(
         "ct_target", "ct_src", "ct_w", "refresh_slots", "refresh_src", "owner",
         "sf_buckets", "sf_E1", "sf_slave_keep",
     ],
-    meta_fields=["sf_meta", "use_ssweep", "NP", "NS", "S", "nloc", "n_slots", "n_dofs"],
+    meta_fields=["sf_meta", "use_ssweep", "NP", "NS", "S", "nloc", "n_slots", "n_dofs", "n_shards"],
 )
 
 
@@ -598,8 +777,18 @@ def make_hybrid_operator(
     KS = _assembled_1d(tensor.stiffness_matrix_1d(p), fmt.K, p)
     MS = _assembled_1d(tensor.mass_matrix_1d(p), fmt.K, p)
     elem_m = element.laplace_element_matrix(3, p)
-    h_p = mesh.h(fmt.patch_level).astype(np.float64)
-    h_s = mesh.h(mesh.level[fmt.single_cells]).astype(np.float64)
+    # padding dummies (level -1 / cell -1) get scale 0: their stencil output
+    # is exactly zero and nothing ever reads their slots
+    real_p = fmt.patch_level >= 0
+    real_s = fmt.single_cells >= 0
+    h_p = np.where(
+        real_p, mesh.h(np.maximum(fmt.patch_level, 0)).astype(np.float64), 0.0
+    )
+    h_s = np.where(
+        real_s,
+        mesh.h(mesh.level[np.maximum(fmt.single_cells, 0)]).astype(np.float64),
+        0.0,
+    )
 
     # ---- structured hanging faces ----------------------------------------
     sf_raw, covered = find_structured_faces(fmt, hang.slave)
@@ -630,7 +819,7 @@ def make_hybrid_operator(
             plane = (idx[:, None] * S + ((S - 1) if side else 0)) * S + idx[None, :]
         else:
             plane = (idx[:, None] * S + idx[None, :]) * S + ((S - 1) if side else 0)
-        return i_arr[:, None, None] * S**3 + plane[None, :, :]
+        return fmt.patch_slot_base(i_arr)[:, None, None] + plane[None, :, :]
 
     for l, d, side, fidx, src_slots in sf_raw:
         fs = face_slots(fidx, d, side)
@@ -766,6 +955,7 @@ def make_hybrid_operator(
         nloc=dofh.n_loc,
         n_slots=fmt.n_slots,
         n_dofs=dofh.n_dofs,
+        n_shards=fmt.n_shards,
     )
 
 
@@ -788,12 +978,14 @@ def cell_slot_table(fmt: HybridFormat) -> np.ndarray:
         TY = bidx[:, None, 1] * p + loc[None, :, 1]
         TZ = bidx[:, None, 2] * p + loc[None, :, 2]
         lat = (TX * S + TY) * S + TZ                     # [K^3, nloc]
-        base = (np.arange(fmt.n_patches, dtype=np.int64) * S**3)[:, None, None]
+        real = np.nonzero(fmt.patch_level >= 0)[0]
+        base = fmt.patch_slot_base(real)[:, None, None]
         slots = base + lat[None, :, :]
-        out[fmt.patch_cells.reshape(-1)] = slots.reshape(-1, nloc)
+        out[fmt.patch_cells[real].reshape(-1)] = slots.reshape(-1, nloc)
     if fmt.n_singles:
-        base = fmt.patch_slots + np.arange(fmt.n_singles, dtype=np.int64)[:, None] * nloc
-        out[fmt.single_cells] = base + np.arange(nloc)[None, :]
+        real = np.nonzero(fmt.single_cells >= 0)[0]
+        base = fmt.single_slot_base(real)[:, None]
+        out[fmt.single_cells[real]] = base + np.arange(nloc)[None, :]
     return out
 
 
@@ -833,6 +1025,8 @@ def find_structured_faces(fmt: HybridFormat, hang_slave: np.ndarray):
     # same-level patch lookup (conforming neighbour => not hanging)
     key = {}
     for i in range(fmt.n_patches):
+        if fmt.patch_level[i] < 0:  # padding dummy
+            continue
         key[
             (int(fmt.patch_level[i]), int(fmt.patch_block[i, 0]),
              int(fmt.patch_block[i, 1]), int(fmt.patch_block[i, 2]))
@@ -843,6 +1037,8 @@ def find_structured_faces(fmt: HybridFormat, hang_slave: np.ndarray):
     out = {}
     for i in range(fmt.n_patches):
         l = int(fmt.patch_level[i])
+        if l < 0:  # padding dummy
+            continue
         blk = fmt.patch_block[i]
         for d in range(3):
             t1, t2 = [e for e in range(3) if e != d]
@@ -894,7 +1090,7 @@ def find_structured_faces(fmt: HybridFormat, hang_slave: np.ndarray):
                 bucket[0].append(i)
                 bucket[1].append(plane)
                 # mark fine face slots covered
-                base_slot = i * S**3
+                base_slot = int(fmt.patch_slot_base(i))
                 if d == 0:
                     pl = (np.full((S, S), (S - 1) if side else 0) * S + idx1[:, None]) * S + idx1[None, :]
                 elif d == 1:

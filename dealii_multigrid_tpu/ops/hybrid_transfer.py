@@ -29,7 +29,14 @@ import numpy as np
 
 from ..mesh.octree import morton_encode
 from . import tensor
-from .hybrid import HybridFormat, HybridOperator, cell_slot_table
+from .hybrid import (
+    HybridFormat,
+    HybridOperator,
+    cell_slot_table,
+    pack_buckets,
+    unpack_patches,
+    unpack_singles,
+)
 from ..mesh.dof import local_node_indices
 
 
@@ -63,6 +70,7 @@ class HybridTransfer:
     nloc_f: int
     n_slots_f: int
     n_slots_c: int
+    D_f: int = 1  # fine level's n_shards (device-major layout)
 
     @property
     def fine_patch_slots(self) -> int:
@@ -85,10 +93,9 @@ class HybridTransfer:
         uc = self.coarse_op.apply_c(uc)
         dtype = uc.dtype
         S_c, S_f, sub = self.S_c, self.S_f, self.sub
-        cps = self.coarse_op.patch_slots
-        out_p = jnp.zeros((self.NP_f, S_f, S_f, S_f), dtype)
-        if self.coarse_op.NP:
-            up_c = uc[:cps].reshape(self.coarse_op.NP, S_c, S_c, S_c)
+        out_p = jnp.zeros((self.NP_f, S_f, S_f, S_f), dtype) if self.NP_f else None
+        if self.coarse_op.NP and self.NP_f:
+            up_c = self.coarse_op._patches(uc)
             for (fidx, cidx), (ox, oy, oz) in zip(self.patch_buckets, self.patch_offsets):
                 sv = up_c[cidx, ox : ox + sub, oy : oy + sub, oz : oz + sub]
                 out_p = out_p.at[fidx].set(self._interp_sub(sv))
@@ -102,14 +109,13 @@ class HybridTransfer:
         if self.irr_id is not None:
             fidx, slots = self.irr_id
             out_p = out_p.at[fidx].set(uc[slots].reshape(-1, S_f, S_f, S_f))
-        parts = [out_p.reshape(-1)]
+        out_s = None
         if self.NS_f:
             out_s = jnp.zeros((self.NS_f, self.nloc_f), dtype)
             for sidx, src_slots, M in self.single_buckets:
                 v = jnp.matmul(uc[src_slots], M.T.astype(dtype), precision=HIGHEST)
                 out_s = out_s.at[sidx].set(v)
-            parts.append(out_s.reshape(-1))
-        out = jnp.concatenate(parts) if len(parts) > 1 else parts[0]
+        out = pack_buckets(out_p, out_s, self.D_f)
         return out * self.fine_constrained_keep
 
     def restrict(self, rf: jax.Array) -> jax.Array:
@@ -118,7 +124,9 @@ class HybridTransfer:
         S_c, S_f, sub = self.S_c, self.S_f, self.sub
         cop = self.coarse_op
         acc = jnp.zeros(self.n_slots_c, dtype)
-        rp = rf[: self.fine_patch_slots].reshape(self.NP_f, S_f, S_f, S_f) if self.NP_f else None
+        rp = (
+            unpack_patches(rf, self.D_f, self.NP_f, S_f) if self.NP_f else None
+        )
         if cop.NP and self.NP_f:
             acc_p = jnp.zeros((cop.NP, S_c, S_c, S_c), dtype)
             for (fidx, cidx), (ox, oy, oz) in zip(self.patch_buckets, self.patch_offsets):
@@ -127,7 +135,7 @@ class HybridTransfer:
             if self.id_bucket is not None:
                 fidx, cidx = self.id_bucket
                 acc_p = acc_p.at[cidx].add(rp[fidx])
-            acc = acc.at[: cop.patch_slots].set(acc_p.reshape(-1))
+            acc = cop._with_patches(acc, acc_p)
         if self.irr_patch is not None:
             fidx, sub_slots = self.irr_patch
             v = self._interp_sub_t(rp[fidx]).reshape(len(sub_slots), -1)
@@ -136,7 +144,9 @@ class HybridTransfer:
             fidx, slots = self.irr_id
             acc = acc.at[slots.reshape(-1)].add(rp[fidx].reshape(-1))
         if self.NS_f:
-            rs = rf[self.fine_patch_slots :].reshape(self.NS_f, self.nloc_f)
+            rs = unpack_singles(
+                rf, self.D_f, self.NP_f, S_f, self.NS_f, self.nloc_f
+            )
             for sidx, src_slots, M in self.single_buckets:
                 v = jnp.matmul(rs[sidx], M.astype(dtype), precision=HIGHEST)
                 acc = acc.at[src_slots.reshape(-1)].add(v.reshape(-1))
@@ -151,7 +161,7 @@ jax.tree_util.register_dataclass(
         "coarse_op", "fine_constrained_keep", "fine_owner", "E1",
         "patch_buckets", "id_bucket", "irr_patch", "irr_id", "single_buckets",
     ],
-    meta_fields=["patch_offsets", "S_f", "S_c", "sub", "NP_f", "NS_f", "nloc_f", "n_slots_f", "n_slots_c"],
+    meta_fields=["patch_offsets", "S_f", "S_c", "sub", "NP_f", "NS_f", "nloc_f", "n_slots_f", "n_slots_c", "D_f"],
 )
 
 
@@ -248,17 +258,17 @@ def make_hybrid_transfer(
             patch_buckets.append((pair, pair, (0, 0, 0)))
         else:  # degenerate: route through irregular sub-lattice
             for i in range(fine_fmt.n_patches):
+                if fine_fmt.patch_level[i] < 0:  # padding dummy
+                    continue
                 irr_f.append(i)
                 irr_slots_list.append(
                     _sub_slots_same_mesh(fine_fmt, coarse_fmt, i, cslot, loc_c, p_c)
                 )
         M_single = _kron3(tensor.p_embedding_1d(p_c, p_f))
-        sidx = np.arange(fine_fmt.n_singles, dtype=np.int64)
-        # same mesh => same singleton cells in both formats
-        src = cslot[fine_fmt.single_cells]
-        single_buckets = (
-            [(sidx, src, M_single)] if fine_fmt.n_singles else []
-        )
+        # same mesh => same singleton cells in both formats (skip dummies)
+        sidx = np.nonzero(fine_fmt.single_cells >= 0)[0].astype(np.int64)
+        src = cslot[fine_fmt.single_cells[sidx]]
+        single_buckets = [(sidx, src, M_single)] if len(sidx) else []
     else:
         assert p_f == p_c
         p = p_f
@@ -272,6 +282,8 @@ def make_hybrid_transfer(
         oct_groups = {o: ([], []) for o in range(8)}
         for i in range(fine_fmt.n_patches):
             lvl = int(fine_fmt.patch_level[i])
+            if lvl < 0:  # padding dummy
+                continue
             blk = fine_fmt.patch_block[i]
             # identity: same patch in coarse decomposition
             j = cp_key.get((lvl, int(blk[0]), int(blk[1]), int(blk[2])))
@@ -312,7 +324,8 @@ def make_hybrid_transfer(
         # --- fine singles: identity cell or parent cell ---
         single_buckets = []
         if fine_fmt.n_singles:
-            scells = fine_fmt.single_cells
+            real_sel = np.nonzero(fine_fmt.single_cells >= 0)[0]
+            scells = fine_fmt.single_cells[real_sel]
             lvls = mf.level[scells]
             anch = mf.anchor[scells]
             ident = np.full(len(scells), -1, np.int64)
@@ -323,7 +336,7 @@ def make_hybrid_transfer(
             if id_sel.any():
                 single_buckets.append(
                     (
-                        np.nonzero(id_sel)[0].astype(np.int64),
+                        real_sel[id_sel].astype(np.int64),
                         cslot[ident[id_sel]],
                         np.eye(fd.n_loc),
                     )
@@ -347,7 +360,7 @@ def make_hybrid_transfer(
                             np.kron(Eh[(o >> 2) & 1], Eh[(o >> 1) & 1]), Eh[o & 1]
                         )
                         single_buckets.append(
-                            (rest[s].astype(np.int64), cslot[par[s]], M)
+                            (real_sel[rest[s]].astype(np.int64), cslot[par[s]], M)
                         )
 
     id_bucket = None
@@ -394,6 +407,7 @@ def make_hybrid_transfer(
         nloc_f=fd.n_loc,
         n_slots_f=fine_fmt.n_slots,
         n_slots_c=coarse_fmt.n_slots,
+        D_f=fine_fmt.n_shards,
     )
 
 

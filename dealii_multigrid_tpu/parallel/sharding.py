@@ -96,22 +96,120 @@ def replicate(v: jax.Array, mesh: Mesh) -> jax.Array:
     return jax.device_put(v, NamedSharding(mesh, P()))
 
 
+# ---------------------------------------------------------------------------
+# hybrid (patch-structured) engine sharding — the production path
+# ---------------------------------------------------------------------------
+#
+# The hybrid format's device-major layout (ops/hybrid.py: HybridFormat with
+# n_shards = D) pads patch/singleton counts to multiples of D so that an even
+# block partition of the flat slot axis puts whole patches on devices.  Here
+# the arrays are PLACED: slot vectors and per-patch/per-singleton arrays are
+# sharded over the 1D device mesh, small irregular tables are replicated.
+# The exchange's face-plane gathers become surface-sized collectives (the
+# ghost exchange of reference include/operator.h:146-167); everything bulk
+# stays local.  Levels with n_shards == 1 are replicated — redundant compute
+# on every device, the TPU-native analog of the reference's shrinking coarse
+# sub-communicators (multigrid_throughput.cc:1464-1501) without idle ranks.
+
+
+def place_hybrid_level(level, dmesh: Mesh):
+    """Place a HybridLevel's arrays on the device mesh according to its
+    format's n_shards (sharded if > 1, fully replicated if == 1)."""
+    import dataclasses
+
+    op = level.op
+    if op.n_shards > 1:
+        sh1 = NamedSharding(dmesh, P(CELL_AXIS))
+        sh2 = NamedSharding(dmesh, P(None, CELL_AXIS))
+    else:
+        sh1 = sh2 = NamedSharding(dmesh, P())
+    rep = NamedSharding(dmesh, P())
+    put = jax.device_put
+
+    def rep_tree(t):
+        return jax.tree.map(lambda a: put(a, rep), t)
+
+    op = dataclasses.replace(
+        op,
+        KS=put(op.KS, rep),
+        MS=put(op.MS, rep),
+        elem=put(op.elem, rep),
+        pscale=put(op.pscale, sh1),
+        sscale=put(op.sscale, sh1),
+        nbr=put(op.nbr, sh2),
+        nbr_mask=put(op.nbr_mask, sh2),
+        snbr=put(op.snbr, sh2),
+        snbr_mask=put(op.snbr_mask, sh2),
+        irr_buckets=rep_tree(op.irr_buckets),
+        dirichlet_keep=put(op.dirichlet_keep, sh1),
+        slave_keep=put(op.slave_keep, sh1),
+        constrained_keep=put(op.constrained_keep, sh1),
+        slave_master_slots=rep_tree(op.slave_master_slots),
+        slave_w=rep_tree(op.slave_w),
+        slave_all_slots=rep_tree(op.slave_all_slots),
+        slave_all_src=rep_tree(op.slave_all_src),
+        slave_rep=rep_tree(op.slave_rep),
+        ct_target=rep_tree(op.ct_target),
+        ct_src=rep_tree(op.ct_src),
+        ct_w=rep_tree(op.ct_w),
+        refresh_slots=rep_tree(op.refresh_slots),
+        refresh_src=rep_tree(op.refresh_src),
+        owner=put(op.owner, sh1),
+        sf_buckets=rep_tree(op.sf_buckets),
+        sf_E1=put(op.sf_E1, rep),
+        sf_slave_keep=put(op.sf_slave_keep, sh1),
+    )
+    return dataclasses.replace(
+        level,
+        op=op,
+        inv_diag=put(level.inv_diag, sh1),
+        eig_b0=put(level.eig_b0, sh1),
+        from_global_idx=put(level.from_global_idx, sh1),
+        to_global_idx=put(level.to_global_idx, rep),
+    )
+
+
+def hybrid_level_shard_count(
+    n_cells: int, n_devices: int, grain_size: int = 8
+) -> int:
+    """Per-level shard count: shard over all devices while each keeps at
+    least ``grain_size`` cells, else replicate (the BalancedGranularity rule,
+    reference multigrid_throughput.cc:370-420, adapted to the two-tier
+    sharded/replicated TPU scheme)."""
+    return n_devices if n_cells >= grain_size * n_devices else 1
+
+
+def build_sharded_hybrid_levels(plan, level_dtype, dmesh: Mesh, n_devices: int):
+    """Hybrid levels for a GC plan, each sharded or replicated by the
+    granularity rule and placed on the device mesh."""
+    from .. import api
+
+    levels = []
+    for mesh0, degree in plan:
+        D = hybrid_level_shard_count(mesh0.n_cells, n_devices)
+        lv = api.build_level_hybrid(mesh0, degree, level_dtype, n_shards=D)
+        levels.append(place_hybrid_level(lv, dmesh))
+    return levels
+
+
 def dryrun_sharded_solve(
     n_devices: int,
     n_ref: int = 3,
     degree: int = 2,
     reltol: float = 1e-10,
 ) -> float:
-    """Full HMG-global V-cycle-preconditioned CG over an n_devices mesh,
+    """Full HMG-global V-cycle-preconditioned CG on the PRODUCTION (hybrid
+    patch-structured) engine, domain-decomposed over an n_devices mesh and
     asserted equal to the single-device solve.
 
     The reference's run-the-same-code-at-any-rank-count property (SURVEY §4;
-    multigrid_throughput.cc:2041-2046): the Morton cell-block partition is the
-    p4est SFC partition analog; coarse levels whose cell count drops below the
-    device count are REPLICATED (computed redundantly on every device — the
-    TPU-native form of the reference's shrinking sub-communicators, where idle
-    ranks would waste the hardware instead).  Returns the relative L2
-    difference between the sharded and the single-device solution.
+    multigrid_throughput.cc:2041-2046): the Morton patch-block partition is
+    the p4est SFC partition analog; coarse levels below the granularity
+    threshold are REPLICATED (redundant compute on every device — the
+    TPU-native form of the reference's shrinking sub-communicators, with no
+    idle ranks).  Returns the relative L2 difference between the sharded and
+    the single-device solution in the GLOBAL DoF layout (the slot layouts
+    differ by construction).
     """
     import jax
 
@@ -122,6 +220,7 @@ def dryrun_sharded_solve(
     from ..mesh import generators
     from ..mesh.coarsening import geometric_coarsening_sequence
     from ..models import poisson
+    from ..ops.operator import make_operator
     from ..solvers.cg import cg_solve
     from ..solvers.multigrid import PreconditionMG
     from ..utils.params import MultigridParameters
@@ -135,36 +234,37 @@ def dryrun_sharded_solve(
     mg_data.coarse_solver.type = "amg"
 
     def build_and_solve(dmesh: Mesh | None):
-        levels = [api.build_level(m, d, dtype) for m, d in plan]
-        fine = levels[-1]
-        problem = poisson.make_problem(
-            fine.dofh, fine.hanging, fine.op, "Gaussian"
-        )
-        mg, _ = api.build_gc_preconditioner(levels, mg_data, dtype, dtype)
-        precond = PreconditionMG(mg, dtype)
-        rhs = problem.rhs
-
         if dmesh is None:
-            constrain = lambda v: v
+            levels = [
+                api.build_level_hybrid(m, d, dtype, n_shards=1) for m, d in plan
+            ]
         else:
-            # the scaling-book recipe: annotate the sharding, let XLA SPMD
-            # place the collectives (dims need not divide the device count
-            # inside jit)
-            sh = NamedSharding(dmesh, P(CELL_AXIS))
-            constrain = lambda v: jax.lax.with_sharding_constraint(v, sh)
+            levels = build_sharded_hybrid_levels(plan, dtype, dmesh, n_devices)
+        fine = levels[-1]
+        gop = make_operator(fine.dofh, fine.hanging, dtype=dtype)
+        problem = poisson.make_problem(fine.dofh, fine.hanging, gop, "Gaussian")
+        rhs = jnp.asarray(
+            fine.fmt.from_global(np.asarray(problem.rhs, np.float64)), dtype
+        )
+        if dmesh is not None and fine.op.n_shards > 1:
+            rhs = shard_vector(rhs, dmesh)
+        mg = api.build_gc_preconditioner_hybrid(levels, mg_data, dtype)
+        precond = PreconditionMG(mg, dtype)
 
         @jax.jit
         def solve(fop, pre, b):
             return cg_solve(
                 fop.vmult,
-                constrain(b),
+                b,
                 preconditioner=pre.vmult,
                 maxiter=100,
                 reltol=reltol,
+                dot=fop.dot,
             )
 
         res = jax.block_until_ready(solve(fine.op, precond, rhs))
-        return np.asarray(res.x), int(res.n_iterations)
+        x_global = np.asarray(fine.to_global(res.x))
+        return x_global, int(res.n_iterations)
 
     x_ref, it_ref = build_and_solve(None)
     dmesh = make_device_mesh(n_devices)

@@ -87,7 +87,10 @@ class DirectCoarseSolver:
         y = jax.scipy.linalg.solve_triangular(self.L, bg.astype(self.L.dtype), lower=True)
         x = jax.scipy.linalg.solve_triangular(self.L.T, y, lower=False)
         x = x.astype(b.dtype)
-        return x[self.from_idx] if self.from_idx is not None else x
+        if self.from_idx is None:
+            return x
+        # from_idx may carry the sentinel n_dofs on dummy slots -> read zero
+        return jnp.concatenate([x, jnp.zeros(1, x.dtype)])[self.from_idx]
 
     vmult = __call__
 
@@ -225,7 +228,9 @@ class SlottedSolver:
     from_idx: jax.Array
 
     def vmult(self, b: jax.Array) -> jax.Array:
-        return self.inner.vmult(b[self.to_idx])[self.from_idx]
+        x = self.inner.vmult(b[self.to_idx])
+        # from_idx may carry the sentinel n_dofs on dummy slots -> read zero
+        return jnp.concatenate([x, jnp.zeros(1, x.dtype)])[self.from_idx]
 
     __call__ = vmult
 
