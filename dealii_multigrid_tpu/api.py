@@ -131,6 +131,10 @@ class MGSolveResult:
     residual_norm: float
     mg: object | None = None       # the preconditioner (for phase profiling)
     rhs_used: jax.Array | None = None
+    n_shards: int = 1
+    sub_comm_size: int = 1         # coarsest level's device count (analog of
+                                   # the reference's sub_comm_size column)
+    partitions: list | None = None # per-level cell->shard maps actually used
 
 
 def build_gc_preconditioner(
@@ -366,13 +370,18 @@ class HybridLevel:
 
 
 def build_level_hybrid(
-    mesh: AdaptiveMesh, degree: int, dtype, K: int = 8, n_shards: int = 1
+    mesh: AdaptiveMesh,
+    degree: int,
+    dtype,
+    K: int = 8,
+    n_shards: int = 1,
+    cell_shard: np.ndarray | None = None,
 ) -> HybridLevel:
     dofh = distribute_dofs(mesh, degree)
     hanging = make_hanging_node_constraints(dofh)
     fmt = _hy.build_hybrid_format(dofh, K=K)
-    if n_shards > 1:
-        fmt = _hy.repartition_format(fmt, n_shards)
+    if n_shards > 1 or cell_shard is not None:
+        fmt = _hy.repartition_format(fmt, n_shards, cell_shard)
     op = _hy.make_hybrid_operator(fmt, hanging, dtype=dtype)
     diag = compute_diagonal(dofh, hanging)
     inv_diag = jnp.asarray(fmt.from_global(1.0 / diag), dtype=dtype)
@@ -463,7 +472,13 @@ def build_gc_preconditioner_hybrid(
 def solve_with_global_coarsening_hybrid(
     params: RunParameters, fine_mesh: AdaptiveMesh
 ):
-    """Hybrid-engine PMG / HMG-global / HPMG solve (TPU fast path)."""
+    """Hybrid-engine PMG / HMG-global / HPMG solve (TPU fast path).
+
+    With ``params.n_shards`` > 1 (or 0 = all devices) the levels are
+    domain-decomposed over a device mesh: per-level Morton patch-block
+    partitions (optionally policy-weighted, params.effective_policy_name()),
+    replicated coarse levels below the granularity threshold — the reference's
+    distributed run (mpirun -np N) analog."""
     outer_dtype = number_dtype(params.number_type)
     level_dtype = number_dtype(params.mg_number_type)
 
@@ -472,7 +487,20 @@ def solve_with_global_coarsening_hybrid(
     )
     plan = gc_level_plan(params.type, tri_seq, params.fe_degree_fine)
 
-    levels = [build_level_hybrid(mesh, degree, level_dtype) for mesh, degree in plan]
+    n_shards = params.n_shards if params.n_shards != 0 else len(jax.devices())
+    partitions = None
+    dmesh = None
+    if n_shards > 1:
+        from .parallel import sharding as SH
+
+        dmesh = SH.make_device_mesh(n_shards)
+        levels, partitions = SH.build_sharded_hybrid_levels(
+            plan, level_dtype, dmesh, n_shards, params.effective_policy_name()
+        )
+    else:
+        levels = [
+            build_level_hybrid(mesh, degree, level_dtype) for mesh, degree in plan
+        ]
     fine = levels[-1]
 
     # problem assembled in global layout (outer precision), converted to slots
@@ -483,6 +511,10 @@ def solve_with_global_coarsening_hybrid(
     rhs_slots = jnp.asarray(
         fine.fmt.from_global(np.asarray(problem.rhs, np.float64)), outer_dtype
     )
+    if dmesh is not None and fine.op.n_shards > 1:
+        from .parallel import sharding as SH
+
+        rhs_slots = SH.shard_vector(rhs_slots, dmesh)
 
     # outer operator: hybrid op in outer precision (same structure)
     if params.number_type == "mixed":
@@ -495,6 +527,16 @@ def solve_with_global_coarsening_hybrid(
         outer_op = fine.op
     else:
         outer_op = _hy.make_hybrid_operator(fine.fmt, fine.hanging, dtype=outer_dtype)
+    if dmesh is not None and outer_op is not fine.op:
+        from .parallel import sharding as SH
+
+        inner = getattr(outer_op, "op", outer_op)
+        inner = SH.place_hybrid_op(inner, dmesh)
+        outer_op = (
+            MixedPrecisionOperator(inner)
+            if params.number_type == "mixed"
+            else inner
+        )
 
     mg = build_gc_preconditioner_hybrid(levels, params.mg_data, level_dtype)
     precond = PreconditionMG(mg, outer_dtype)
@@ -509,6 +551,11 @@ def solve_with_global_coarsening_hybrid(
     )
     result.mg = mg
     result.rhs_used = rhs_slots
+    result.n_shards = n_shards
+    result.partitions = partitions
+    # sub_comm_size analog: device count of the coarsest level (1 = the
+    # replicated redundant-compute form of the reference's sub-communicator)
+    result.sub_comm_size = levels[0].op.n_shards
     # convert solution back to the global layout for error evaluation
     result.x = fine.to_global(result.x)
     return result, problem, levels

@@ -45,22 +45,45 @@ def run_config(params: RunParameters, table: ConvergenceTable) -> None:
 
     table.add_value("n_dofs", result.n_dofs)
     table.add_value("n_levels", result.n_levels)
+    table.add_value("sub_comm_size", getattr(result, "sub_comm_size", 1))
     table.add_value("n_iterations", result.n_iterations)
     table.add_value("converged", result.converged)
     table.add_value("time", result.time)
-    table.add_value("time_cg", result.time / max(result.n_iterations, 1))
-    table.add_value("throughput", result.throughput)
 
-    profile = getattr(params, "profile_phases", False)
-    if profile and result.mg is not None and result.rhs_used is not None:
-        from dealii_multigrid_tpu.utils.phases import profile_v_cycle
+    # per-phase MG columns (reference multigrid_throughput.cc:1381-1401);
+    # opt-in (ProfilePhases) because each phase costs two extra compiles
+    phases = None
+    if (
+        getattr(params, "profile_phases", False)
+        and result.mg is not None
+        and result.rhs_used is not None
+    ):
+        from dealii_multigrid_tpu.solvers.multigrid import Multigrid, PreconditionMG
+        from dealii_multigrid_tpu.utils.phases import PHASES, profile_preconditioner
 
-        level_dtype = api.number_dtype(params.mg_number_type)
-        phases = profile_v_cycle(
-            result.mg, result.rhs_used.astype(level_dtype), n_reps=2
+        precond = result.mg
+        if isinstance(precond, Multigrid):
+            precond = PreconditionMG(precond, api.number_dtype(params.number_type))
+        phases = profile_preconditioner(precond, result.rhs_used)
+
+    if phases is not None:
+        # reference time_cg: solve time minus all MG phase time, per iteration
+        # (multigrid_throughput.cc:1270-1283)
+        mg_per_iter = sum(phases.values())
+        table.add_value(
+            "time_cg",
+            max(result.time / max(result.n_iterations, 1) - mg_per_iter, 0.0),
         )
-        for ph, t in sorted(phases.items()):
-            table.add_value(f"time_{ph}", t)
+    else:
+        table.add_value("time_cg", result.time / max(result.n_iterations, 1))
+    table.add_value("throughput", result.throughput)
+    if phases is not None:
+        for ph in (
+            "pre", "residuum", "res", "cs", "pro", "edge_pro", "post",
+        ):
+            table.add_value(f"time_{ph}", phases[ph])
+        table.add_value("time_to_mg", phases.get("to_mg", 0.0))
+        table.add_value("time_to_global", phases.get("to_global", 0.0))
 
     if params.paraview:
         from dealii_multigrid_tpu.utils.vtu import write_vtu
@@ -71,9 +94,27 @@ def run_config(params: RunParameters, table: ConvergenceTable) -> None:
     if params.verbose and params.type in ("PMG", "HMG-global", "HPMG"):
         import jax
 
-        n_shards = max(len(jax.devices()), 1)
+        meshes = [lv.mesh for lv in levels]
+        n_shards = getattr(result, "n_shards", 1)
+        if n_shards <= 1:
+            n_shards = max(len(jax.devices()), 1)
+        partitions = getattr(result, "partitions", None)
+        if partitions is not None:
+            # the partitions ACTUALLY applied to device placement
+            # (replicated levels own everything on device 0 — the
+            # sub-communicator analog)
+            partitions = [
+                p if p is not None else np.zeros(m.n_cells, np.int32)
+                for p, m in zip(partitions, meshes)
+            ]
+        elif params.effective_policy_name():
+            from dealii_multigrid_tpu.parallel.partition import partition_hierarchy
+
+            partitions = partition_hierarchy(
+                params.effective_policy_name(), meshes, n_shards, problem.dofh
+            )
         stats = metrics.multigrid_statistics(
-            [lv.mesh for lv in levels], n_shards, params.fe_degree_fine
+            meshes, n_shards, params.fe_degree_fine, partitions=partitions
         )
         for k, v in stats.items():
             table.add_value(k, v)

@@ -96,9 +96,13 @@ def assemble_problem(
     pts_d = jnp.asarray(pts, dtype)
     jxw_d = jnp.asarray(jxw, dtype)
     B3_d = jnp.asarray(B3, dtype)
+    points_d = jnp.asarray(dofh.points, dtype)
 
+    # op/tables are jit ARGUMENTS (pytrees), never closures — closure-captured
+    # index tables become HLO constants that XLA constant-folds for minutes
+    # at a few MDoF (measured: 90+ s at r=6 p=4)
     @jax.jit
-    def build():
+    def build(op, pts_d, jxw_d, B3_d, points_d):
         # raw cell integrals of f * phi
         fq = rhs_fn(pts_d) * jxw_d                       # [nc, nq]
         b_cell = fq @ B3_d                                # [nc, nloc]
@@ -107,7 +111,7 @@ def assemble_problem(
         # Dirichlet lift: x0 interpolates g on the boundary, then hanging
         # distribution makes it a conforming FE function.
         x0 = jnp.zeros(dofh.n_dofs, dtype)
-        bpts = jnp.asarray(dofh.points, dtype)[op.dirichlet]
+        bpts = points_d[op.dirichlet]
         x0 = x0.at[op.dirichlet].set(bc_fn(bpts))
         x0 = distribute(x0, op.hanging)
         # constrained RHS: C^T (F - A_raw x0), zero on constrained DoFs
@@ -115,7 +119,7 @@ def assemble_problem(
         b = b.at[op.constrained].set(0)
         return b, x0
 
-    b, x0 = build()
+    b, x0 = build(op, pts_d, jxw_d, B3_d, points_d)
     return PoissonProblem(dofh, op, b, x0, exact_fn)
 
 
@@ -129,12 +133,12 @@ def l2_error(problem: PoissonProblem, u_full: jax.Array) -> jax.Array:
     B3_d = jnp.asarray(B3, dtype)
 
     @jax.jit
-    def err(u):
+    def err(op, u, pts_d, jxw_d, B3_d):
         uq = u[op.cell_dofs] @ B3_d.T                     # [nc, nq]
         eq = uq - problem.exact_fn(pts_d)
         return jnp.sqrt(jnp.sum(eq * eq * jxw_d))
 
-    return err(u_full)
+    return err(op, u_full, pts_d, jxw_d, B3_d)
 
 
 def make_problem(

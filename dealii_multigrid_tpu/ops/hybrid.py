@@ -156,49 +156,91 @@ class HybridFormat:
         return flat[self.rep_slot]
 
 
-def repartition_format(fmt: HybridFormat, n_shards: int) -> HybridFormat:
+def repartition_format(
+    fmt: HybridFormat, n_shards: int, cell_shard: np.ndarray | None = None
+) -> HybridFormat:
     """Re-lay a single-device HybridFormat into the device-major layout for
-    ``n_shards`` devices (see HybridFormat docstring).  Patch/singleton
-    INDICES are unchanged (dummies are appended), so every patch-indexed
-    table stays valid; all flat SLOT ids are permuted."""
-    if n_shards == 1:
+    ``n_shards`` devices (see HybridFormat docstring).
+
+    ``cell_shard`` (optional, [n_cells] device id per active cell) applies a
+    repartitioning POLICY (parallel/partition.py — the reference's
+    tria.repartition(), multigrid_throughput.cc:2145-2170): patches follow
+    their first cell, singletons their own cell.  Default: equal patch-count
+    blocks along the Morton order (the p4est DefaultPolicy analog).  Every
+    device span is padded to the maximum per-device size with dummies, so a
+    weighted policy trades padding for balanced real work.  All flat SLOT ids
+    are permuted; patch/singleton INDICES are renumbered shard-major and every
+    patch-indexed table (neighbours) is remapped accordingly."""
+    if n_shards == 1 and cell_shard is None:
         return fmt
     assert fmt.n_shards == 1, "repartition from the single-device layout"
     D = n_shards
     S, nloc = fmt.S, fmt.dofh.n_loc
     NP, NS = fmt.n_patches, fmt.n_singles
-    NPp = -(-NP // D) * D if NP else 0
-    NSp = -(-NS // D) * D if NS else 0
-    pad_p, pad_s = NPp - NP, NSp - NS
 
-    patch_level = np.concatenate([fmt.patch_level, np.full(pad_p, -1, np.int32)])
-    patch_block = np.concatenate(
-        [fmt.patch_block, np.full((pad_p, 3), np.iinfo(np.int64).min // 2, np.int64)]
-    )
+    if cell_shard is None:
+        pps0 = -(-NP // D) if NP else 1
+        p_shard = np.arange(NP, dtype=np.int64) // pps0
+        sps0 = -(-NS // D) if NS else 1
+        s_shard = np.arange(NS, dtype=np.int64) // sps0
+    else:
+        cell_shard = np.asarray(cell_shard, np.int64)
+        assert cell_shard.max(initial=0) < D
+        p_shard = (
+            cell_shard[fmt.patch_cells[:, 0]] if NP else np.zeros(0, np.int64)
+        )
+        s_shard = cell_shard[fmt.single_cells] if NS else np.zeros(0, np.int64)
+
+    def layout(shard, n):
+        """(new index per old item, items per shard after padding)."""
+        if n == 0:
+            return np.zeros(0, np.int64), 0
+        counts = np.bincount(shard, minlength=D)
+        per = int(counts.max())
+        order = np.argsort(shard, kind="stable")
+        cum = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        within = np.arange(n, dtype=np.int64) - cum[shard[order]]
+        new_idx = np.empty(n, np.int64)
+        new_idx[order] = shard[order] * per + within
+        return new_idx, per
+
+    new_p, pps = layout(p_shard, NP)
+    new_s, sps = layout(s_shard, NS)
+    NPp, NSp = D * pps, D * sps
+
+    patch_level = np.full(NPp, -1, np.int32)
+    patch_level[new_p] = fmt.patch_level
+    patch_block = np.full((NPp, 3), np.iinfo(np.int64).min // 2, np.int64)
+    patch_block[new_p] = fmt.patch_block
     kcells = fmt.patch_cells.shape[1] if fmt.patch_cells.ndim == 2 else 1
-    patch_cells = np.concatenate(
-        [fmt.patch_cells, np.full((pad_p, kcells), -1, np.int64)]
-    )
-    patch_dof = np.concatenate(
-        [fmt.patch_dof, np.zeros((pad_p, S, S, S), np.int64)]
-    )
-    nbr = np.concatenate([fmt.nbr, np.full((6, pad_p), -1, np.int64)], axis=1)
-    single_cells = np.concatenate([fmt.single_cells, np.full(pad_s, -1, np.int64)])
-    nbr_s = np.concatenate([fmt.nbr_s, np.full((6, pad_s), -1, np.int64)], axis=1)
+    patch_cells = np.full((NPp, kcells), -1, np.int64)
+    patch_cells[new_p] = fmt.patch_cells
+    patch_dof = np.zeros((NPp, S, S, S), np.int64)
+    patch_dof[new_p] = fmt.patch_dof
+    # neighbour tables: remap values through the new numbering, scatter columns
+    new_p_ext = np.concatenate([new_p, np.asarray([-1], np.int64)])
+    nbr = np.full((6, NPp), -1, np.int64)
+    if NP:
+        nbr[:, new_p] = new_p_ext[fmt.nbr]
+    single_cells = np.full(NSp, -1, np.int64)
+    single_cells[new_s] = fmt.single_cells
+    new_s_ext = np.concatenate([new_s, np.asarray([-1], np.int64)])
+    nbr_s = np.full((6, NSp), -1, np.int64)
+    if NS:
+        nbr_s[:, new_s] = new_s_ext[fmt.nbr_s]
 
-    pps, sps = NPp // D, NSp // D
     span = pps * S**3 + sps * nloc
     # perm: old flat slot id -> new flat slot id
     if NP:
-        i = np.repeat(np.arange(NP, dtype=np.int64), S**3)
+        ni = np.repeat(new_p, S**3)
         t = np.tile(np.arange(S**3, dtype=np.int64), NP)
-        perm_p = (i // pps) * span + (i % pps) * S**3 + t
+        perm_p = (ni // pps) * span + (ni % pps) * S**3 + t
     else:
         perm_p = np.zeros(0, np.int64)
     if NS:
-        j = np.repeat(np.arange(NS, dtype=np.int64), nloc)
+        nj = np.repeat(new_s, nloc)
         u = np.tile(np.arange(nloc, dtype=np.int64), NS)
-        perm_s = (j // sps) * span + pps * S**3 + (j % sps) * nloc + u
+        perm_s = (nj // sps) * span + pps * S**3 + (nj % sps) * nloc + u
     else:
         perm_s = np.zeros(0, np.int64)
     perm = np.concatenate([perm_p, perm_s])
@@ -320,6 +362,11 @@ def _find_patches(mesh: AdaptiveMesh, K: int):
         np.zeros((0, K**3), np.int64),
         covered,
     )
+
+
+# the singleton bucket reshapes x-fastest flat data to [cell, z, y, x]:
+# sweep axes 1/2/3 = z/y/x need neighbour rows (4,5)/(2,3)/(0,1)
+SINGLE_SWEEP_ROWS = np.asarray([4, 5, 2, 3, 0, 1])
 
 
 def _simulate_sweeps(raw: np.ndarray, nbr: np.ndarray, S: int) -> np.ndarray:
@@ -458,8 +505,13 @@ def build_hybrid_format(
     if NS:
         n1 = p + 1
         swept2 = swept.copy()
+        # the singleton flat order is x-fastest, so the [NS, n1, n1, n1]
+        # reshape has axes [cell, z, y, x]: sweep axis 1 must use the
+        # z-neighbour rows (the patch lattice is built x-major instead)
         us = _simulate_sweeps(
-            raw[NP * S**3 :].reshape(NS, n1, n1, n1), nbr_s, n1
+            raw[NP * S**3 :].reshape(NS, n1, n1, n1),
+            nbr_s[SINGLE_SWEEP_ROWS],
+            n1,
         )
         swept2[NP * S**3 :] = us.reshape(-1)
         reg_with = classify(swept2)
@@ -570,11 +622,17 @@ class HybridOperator:
     refresh_slots: jax.Array       # i32 [R] non-rep slots of master dofs
     refresh_src: jax.Array         # i32 [R] their rep slots
     owner: jax.Array               # f [n_slots]
-    # structured hanging faces: per bucket (fidx, cidx, ct_mask [n,S,S]);
-    # meta: ((d, side, (ou,ov)), ...) in fine-level-ascending order
-    sf_buckets: tuple
-    sf_meta: tuple
-    sf_E1: jax.Array               # [S, sub] 1D h-embedding
+    # structured hanging faces, batched per fine level (sf_levels):
+    #   sf_patch[i]:  None or (face_slots [n,S,S], src_slots [n,sub,sub],
+    #                 mask [n,S,S]) — whole K-patch faces on coarse cells
+    #   sf_single[i]: None or (face_slots [n,n1,n1], src_slots [n,n1,n1],
+    #                 mask [n,n1,n1], pa [n], pb [n]) — singleton-cell faces,
+    #                 per-face parity selecting the half-embedding
+    # Orientation lives entirely in the flat slot tables, so every (d, side,
+    # parity) collapses into ONE gather + GEMMs + ONE scatter per level.
+    sf_patch: tuple
+    sf_single: tuple
+    sf_E1: jax.Array               # [S, sub] 1D h-embedding (patch faces)
     sf_slave_keep: jax.Array       # f [n_slots]: 0 on structured-slave slots
     # static
     use_ssweep: bool
@@ -585,6 +643,8 @@ class HybridOperator:
     n_slots: int
     n_dofs: int
     n_shards: int = 1
+    sf_levels: tuple = ()          # fine levels with structured faces (meta)
+    sf_Eh: jax.Array | None = None  # [2, n1, n1] per-parity h-embedding
 
     @property
     def dtype(self):
@@ -615,56 +675,80 @@ class HybridOperator:
         # would route through the MXU at bf16 input precision)
         return jnp.sum(x * self.owner * y)
 
+    @property
+    def _n1(self) -> int:
+        n1 = round(self.nloc ** (1 / 3))
+        while n1**3 < self.nloc:
+            n1 += 1
+        return n1
+
     # ------------------------------------------------------------ constraints
     def apply_c(self, x: jax.Array) -> jax.Array:
         x = x * self.dirichlet_keep
         if self.slave_rep.shape[0]:
             vals = (self.slave_w * x[self.slave_master_slots]).sum(-1)
             x = x.at[self.slave_all_slots].set(vals[self.slave_all_src].astype(x.dtype))
-        if self.sf_buckets:
-            S = self.S
+        if self.sf_levels:
             E1 = self.sf_E1.astype(x.dtype)
-            # group buckets by fine level; ascending order + flush per level
-            # resolves constraint chains (a coarse source plane may itself be
-            # the fine side of a deeper hanging interface)
-            levels = sorted({m[0] for m in self.sf_meta})
-            for lev in levels:
-                up = self._patches(x)
-                for (l, d, side), (fidx, src_slots, _m) in zip(
-                    self.sf_meta, self.sf_buckets
-                ):
-                    if l != lev:
-                        continue
-                    sv = x[src_slots]                       # [n, sub, sub]
+            # fine levels ASCENDING with a flush per level resolves constraint
+            # chains (a coarse source plane may itself be the fine side of a
+            # deeper hanging interface); within a level, everything is one
+            # gather + GEMMs + one combined scatter
+            for i, _lev in enumerate(self.sf_levels):
+                idxs, vals_ = [], []
+                if self.sf_patch[i] is not None:
+                    face, src, _m = self.sf_patch[i]
+                    sv = x[src]                             # [n, sub, sub]
                     plane = jnp.einsum(
                         "nsj,is->nij",
                         jnp.einsum("nst,jt->nsj", sv, E1, precision=HIGHEST),
                         E1, precision=HIGHEST,
                     )
-                    up = up.at[(fidx,) + _face_slicer(S, d, side)[1:]].set(plane)
-                x = self._with_patches(x, up)
+                    idxs.append(face.reshape(-1))
+                    vals_.append(plane.reshape(-1))
+                if self.sf_single[i] is not None:
+                    face, src, _m, pa, pb = self.sf_single[i]
+                    Ea = self.sf_Eh[pa].astype(x.dtype)     # [n, n1, n1]
+                    Eb = self.sf_Eh[pb].astype(x.dtype)
+                    sv = x[src]                             # [n, n1, n1]
+                    tmp = jnp.einsum("nmk,njk->nmj", sv, Eb, precision=HIGHEST)
+                    plane = jnp.einsum("nmj,nim->nij", tmp, Ea, precision=HIGHEST)
+                    idxs.append(face.reshape(-1))
+                    vals_.append(plane.reshape(-1))
+                # duplicate indices (slots on two covered faces) receive equal
+                # values, so an unordered scatter-set is well-defined
+                x = x.at[jnp.concatenate(idxs)].set(jnp.concatenate(vals_))
             x = x * self.dirichlet_keep
         return x
 
     def apply_ct_faces(self, r: jax.Array) -> jax.Array:
         """Structured C^T on RAW residuals (before exchange): ship masked fine
         face planes to the coarse quarter-planes, zero the structured slaves."""
-        if not self.sf_buckets:
+        if not self.sf_levels:
             return r
-        S = self.S
         E1 = self.sf_E1.astype(r.dtype)
-        # fine-level DESCENDING for the transpose chains; reads always come
-        # from the current r so earlier adds are visible
-        for (l, d, side), (fidx, src_slots, mask) in reversed(
-            list(zip(self.sf_meta, self.sf_buckets))
-        ):
-            up = self._patches(r)
-            plane = up[(fidx,) + _face_slicer(S, d, side)[1:]] * mask.astype(r.dtype)
-            tmp = jnp.einsum("nij,is->nsj", plane, E1, precision=HIGHEST)
-            contrib = jnp.einsum("nsj,jt->nst", tmp, E1, precision=HIGHEST)
-            r = r.at[src_slots.reshape(src_slots.shape[0], -1).reshape(-1)].add(
-                contrib.reshape(-1)
-            )
+        # fine-level DESCENDING for the transpose chains; a level's adds land
+        # on level-(l-1) cells, disjoint from its own face reads, so one
+        # combined scatter-add per level is exact
+        for i in range(len(self.sf_levels) - 1, -1, -1):
+            idxs, vals_ = [], []
+            if self.sf_patch[i] is not None:
+                face, src, mask = self.sf_patch[i]
+                plane = r[face] * mask.astype(r.dtype)
+                tmp = jnp.einsum("nij,is->nsj", plane, E1, precision=HIGHEST)
+                contrib = jnp.einsum("nsj,jt->nst", tmp, E1, precision=HIGHEST)
+                idxs.append(src.reshape(-1))
+                vals_.append(contrib.reshape(-1))
+            if self.sf_single[i] is not None:
+                face, src, mask, pa, pb = self.sf_single[i]
+                Ea = self.sf_Eh[pa].astype(r.dtype)
+                Eb = self.sf_Eh[pb].astype(r.dtype)
+                plane = r[face] * mask.astype(r.dtype)
+                tmp = jnp.einsum("nij,nim->nmj", plane, Ea, precision=HIGHEST)
+                contrib = jnp.einsum("nmj,njk->nmk", tmp, Eb, precision=HIGHEST)
+                idxs.append(src.reshape(-1))
+                vals_.append(contrib.reshape(-1))
+            r = r.at[jnp.concatenate(idxs)].add(jnp.concatenate(vals_))
         return r * self.sf_slave_keep
 
     def apply_ct(self, r: jax.Array) -> jax.Array:
@@ -760,9 +844,9 @@ jax.tree_util.register_dataclass(
         "slave_master_slots", "slave_w",
         "slave_all_slots", "slave_all_src", "slave_rep",
         "ct_target", "ct_src", "ct_w", "refresh_slots", "refresh_src", "owner",
-        "sf_buckets", "sf_E1", "sf_slave_keep",
+        "sf_patch", "sf_single", "sf_E1", "sf_slave_keep", "sf_Eh",
     ],
-    meta_fields=["sf_meta", "use_ssweep", "NP", "NS", "S", "nloc", "n_slots", "n_dofs", "n_shards"],
+    meta_fields=["sf_levels", "use_ssweep", "NP", "NS", "S", "nloc", "n_slots", "n_dofs", "n_shards"],
 )
 
 
@@ -792,6 +876,8 @@ def make_hybrid_operator(
 
     # ---- structured hanging faces ----------------------------------------
     sf_raw, covered = find_structured_faces(fmt, hang.slave)
+    ssf_raw, covered_s = find_structured_single_faces(fmt)
+    covered = covered | covered_s
     is_slave_dof = np.zeros(dofh.n_dofs, bool)
     is_slave_dof[hang.slave] = True
     # structured slaves: hanging slaves ALL of whose slots lie on covered faces
@@ -824,20 +910,58 @@ def make_hybrid_operator(
     for l, d, side, fidx, src_slots in sf_raw:
         fs = face_slots(fidx, d, side)
         np.add.at(cov_count, fs.reshape(-1), slave_slot[fs.reshape(-1)].astype(np.int64))
-    sf_buckets = []
-    sf_meta = []
-    for l, d, side, fidx, src_slots in sf_raw:
-        fs = face_slots(fidx, d, side)
-        m = np.where(
+    for l, d, side, pa, pb, sidx, src_slots in ssf_raw:
+        fs = _single_face_slots(fmt, sidx, d, side)
+        np.add.at(cov_count, fs.reshape(-1), slave_slot[fs.reshape(-1)].astype(np.int64))
+    def ct_mask(fs):
+        return np.where(
             slave_slot[fs] & (cov_count[fs] > 0),
             1.0 / np.maximum(cov_count[fs], 1),
             0.0,
         )
-        sf_buckets.append(
-            (jnp.asarray(fidx, jnp.int32), jnp.asarray(src_slots, jnp.int32),
-             jnp.asarray(m, dtype))
+
+    # batch all structured faces of one fine level into single tables
+    sf_levels = sorted({b[0] for b in sf_raw} | {b[0] for b in ssf_raw})
+    sf_patch, sf_single = [], []
+    for lev in sf_levels:
+        faces, srcs, masks = [], [], []
+        for l, d, side, fidx, src_slots in sf_raw:
+            if l != lev:
+                continue
+            fs = face_slots(fidx, d, side)
+            faces.append(fs)
+            srcs.append(src_slots)
+            masks.append(ct_mask(fs))
+        sf_patch.append(
+            (
+                jnp.asarray(np.concatenate(faces), jnp.int32),
+                jnp.asarray(np.concatenate(srcs), jnp.int32),
+                jnp.asarray(np.concatenate(masks), dtype),
+            )
+            if faces
+            else None
         )
-        sf_meta.append((int(l), int(d), int(side)))
+        faces, srcs, masks, pas, pbs = [], [], [], [], []
+        for l, d, side, pa, pb, sidx, src_slots in ssf_raw:
+            if l != lev:
+                continue
+            fs = _single_face_slots(fmt, sidx, d, side)
+            faces.append(fs)
+            srcs.append(src_slots)
+            masks.append(ct_mask(fs))
+            pas.append(np.full(len(sidx), pa, np.int64))
+            pbs.append(np.full(len(sidx), pb, np.int64))
+        sf_single.append(
+            (
+                jnp.asarray(np.concatenate(faces), jnp.int32),
+                jnp.asarray(np.concatenate(srcs), jnp.int32),
+                jnp.asarray(np.concatenate(masks), dtype),
+                jnp.asarray(np.concatenate(pas), jnp.int32),
+                jnp.asarray(np.concatenate(pbs), jnp.int32),
+            )
+            if faces
+            else None
+        )
     sf_slave_keep = np.ones(fmt.n_slots)
     sf_slave_keep[slave_slot] = 0.0
     from . import tensor as _tensor
@@ -923,8 +1047,11 @@ def make_hybrid_operator(
         sscale=jnp.asarray(h_s, dtype),
         nbr=jnp.asarray(np.maximum(fmt.nbr, 0), jnp.int32),
         nbr_mask=jnp.asarray((fmt.nbr >= 0).astype(np.float64), dtype),
-        snbr=jnp.asarray(np.maximum(fmt.nbr_s, 0), jnp.int32),
-        snbr_mask=jnp.asarray((fmt.nbr_s >= 0).astype(np.float64), dtype),
+        # pre-reordered for the [cell, z, y, x] singleton lattice axes
+        snbr=jnp.asarray(np.maximum(fmt.nbr_s[SINGLE_SWEEP_ROWS], 0), jnp.int32),
+        snbr_mask=jnp.asarray(
+            (fmt.nbr_s[SINGLE_SWEEP_ROWS] >= 0).astype(np.float64), dtype
+        ),
         irr_buckets=tuple(irr_buckets),
         dirichlet_keep=jnp.asarray(dirichlet_keep, dtype),
         slave_keep=jnp.asarray(slave_keep, dtype),
@@ -945,10 +1072,12 @@ def make_hybrid_operator(
         refresh_src=jnp.asarray(refresh_src, jnp.int32),
         owner=jnp.asarray(fmt.owner, dtype),
         use_ssweep=fmt.use_singleton_sweeps,
-        sf_buckets=tuple(sf_buckets),
-        sf_meta=tuple(sf_meta),
+        sf_patch=tuple(sf_patch),
+        sf_single=tuple(sf_single),
+        sf_levels=tuple(int(l) for l in sf_levels),
         sf_E1=jnp.asarray(E1, dtype),
         sf_slave_keep=jnp.asarray(sf_slave_keep, dtype),
+        sf_Eh=jnp.asarray(np.stack([Eh[0], Eh[1]]), dtype),
         NP=fmt.n_patches,
         NS=fmt.n_singles,
         S=fmt.S,
@@ -1101,6 +1230,113 @@ def find_structured_faces(fmt: HybridFormat, hang_slave: np.ndarray):
     buckets = [
         (l, d, side, np.asarray(f, np.int64), np.stack(s))
         for (l, d, side), (f, s) in sorted(out.items())
+    ]
+    return buckets, covered
+
+
+def _single_face_slots(fmt: HybridFormat, j_arr: np.ndarray, d: int, side: int):
+    """Flat slot ids of singleton j's face plane, axes (t_hi, t_lo) =
+    the non-d geometric axes in descending order (the order produced by
+    slicing the [cell, z, y, x] singleton lattice)."""
+    p = fmt.dofh.degree
+    n1 = p + 1
+    pos = p if side else 0
+    ij = np.arange(n1)
+    if d == 0:    # plane [z, y]
+        plane = pos + n1 * ij[None, :] + n1 * n1 * ij[:, None]
+    elif d == 1:  # plane [z, x]
+        plane = ij[None, :] + n1 * pos + n1 * n1 * ij[:, None]
+    else:         # plane [y, x]
+        plane = ij[None, :] + n1 * ij[:, None] + n1 * n1 * pos
+    return fmt.single_slot_base(j_arr)[:, None, None] + plane[None]
+
+
+def _single_face_slicer(n1: int, d: int, side: int):
+    """Static slicing tuple selecting singleton face planes from the
+    [NS, z, y, x] lattice view (geometric axis d = array axis 3-d)."""
+    sl = [slice(None)] * 4
+    sl[3 - d] = (n1 - 1) if side else 0
+    return tuple(sl)
+
+
+def find_structured_single_faces(fmt: HybridFormat):
+    """Detect singleton-cell faces FULLY hanging on a level-(l-1) cell.
+
+    The hanging constraint on such a face is the 2D tensor interpolation of
+    the parent-cell facing face with the half-embedding E_h[b] per in-plane
+    axis (b = the fine cell's anchor parity) — two small GEMMs per bucket
+    instead of per-node constraint rows (the singleton-side counterpart of
+    find_structured_faces).  Returns (buckets, covered_slots) with buckets =
+    list of (fine_level, d, side, pa, pb, sidx [n], src_slots [n, p+1, p+1]).
+    """
+    mesh = fmt.dofh.mesh
+    p = fmt.dofh.degree
+    n1 = p + 1
+    covered = np.zeros(fmt.n_slots, bool)
+    if fmt.n_singles == 0:
+        return [], covered
+    cslot = cell_slot_table(fmt)
+    loc = local_node_indices(3, p)
+    idx = mesh.active_index()
+
+    def find_exact(level, anchors):
+        got = idx.get(int(level))
+        if got is None or len(got[0]) == 0:
+            return np.full(len(anchors), -1, np.int64)
+        codes_sorted, gidx = got
+        q = morton_encode(anchors)
+        pos = np.minimum(np.searchsorted(codes_sorted, q), len(codes_sorted) - 1)
+        return np.where(codes_sorted[pos] == q, gidx[pos], -1)
+
+    real = np.nonzero(fmt.single_cells >= 0)[0]
+    cells = fmt.single_cells[real]
+    levels = mesh.level[cells].astype(np.int64)
+    anchors = mesh.anchor[cells]
+    out = {}
+    for d in range(3):
+        t_hi, t_lo = [e for e in range(2, -1, -1) if e != d]
+        for side in (0, 1):
+            q = anchors.copy()
+            q[:, d] += 1 if side else -1
+            ext = 1 << levels
+            inside = (q[:, d] >= 0) & (q[:, d] < ext)
+            same = np.full(len(cells), -1, np.int64)
+            for l in np.unique(levels):
+                s = np.nonzero((levels == l) & inside)[0]
+                if len(s):
+                    same[s] = find_exact(l, q[s])
+            cand = np.nonzero(inside & (same < 0))[0]
+            if len(cand) == 0:
+                continue
+            par = np.full(len(cand), -1, np.int64)
+            for l in np.unique(levels[cand]):
+                s = np.nonzero(levels[cand] == l)[0]
+                par[s] = find_exact(l - 1, q[cand[s]] >> 1)
+            ok = np.nonzero(par >= 0)[0]
+            if len(ok) == 0:
+                continue
+            sel = cand[ok]
+            par_cells = par[ok]
+            i_d = 0 if side else p
+            fsel = loc[:, d] == i_d
+            fl = loc[fsel]
+            src = np.zeros((len(ok), n1, n1), np.int64)
+            src[:, fl[:, t_hi], fl[:, t_lo]] = cslot[par_cells][:, fsel]
+            assert (src >= 0).all()
+            pa = (anchors[sel, t_hi] & 1).astype(np.int64)
+            pb = (anchors[sel, t_lo] & 1).astype(np.int64)
+            lv = levels[sel]
+            for key in sorted(set(zip(lv.tolist(), pa.tolist(), pb.tolist()))):
+                l, a, b_ = key
+                m = (lv == l) & (pa == a) & (pb == b_)
+                bucket = out.setdefault((int(l), d, side, int(a), int(b_)), ([], []))
+                bucket[0].extend(real[sel[m]].tolist())
+                bucket[1].append(src[m])
+            fs = _single_face_slots(fmt, real[sel], d, side)
+            covered[fs.reshape(-1)] = True
+    buckets = [
+        (l, d, side, a, b_, np.asarray(sidx, np.int64), np.concatenate(srcs))
+        for (l, d, side, a, b_), (sidx, srcs) in sorted(out.items())
     ]
     return buckets, covered
 

@@ -215,13 +215,12 @@ def compute_diagonal(
     cd = dofh.cell_dofs.astype(np.int64)
     has_slave = (slave_row[cd] >= 0).any(axis=1)
 
-    d = np.zeros(dofh.n_dofs)
-    # unconstrained cells: diagonal of scale * elem
+    # unconstrained cells: diagonal of scale * elem (bincount is ~10x add.at)
     cu = cd[~has_slave]
-    np.add.at(
-        d,
+    d = np.bincount(
         cu.reshape(-1),
-        (scale[~has_slave, None] * np.diag(elem)[None, :]).reshape(-1),
+        weights=(scale[~has_slave, None] * np.diag(elem)[None, :]).reshape(-1),
+        minlength=dofh.n_dofs,
     )
 
     # constrained cells: exact quadratic forms
@@ -254,12 +253,31 @@ def compute_diagonal(
         cidx, tgt, lidx, val = cidx[nz], tgt[nz], lidx[nz], val[nz]
         key = cidx * np.int64(dofh.n_dofs) + tgt
         ukey, grp = np.unique(key, return_inverse=True)
-        W = np.zeros((len(ukey), nloc))
-        np.add.at(W, (grp, lidx), val)
         gcell = (ukey // dofh.n_dofs).astype(np.int64)
         gtgt = (ukey % dofh.n_dofs).astype(np.int64)
-        quad = ((W @ elem) * W).sum(axis=1) * scale[cc_idx][gcell]
-        np.add.at(d, gtgt, quad)
+        counts = np.bincount(grp, minlength=len(ukey))
+        # fast path: most (cell, target) groups hold a single basis entry
+        # w = v * e_l, whose quadratic form is v^2 * elem[l, l]
+        single = counts == 1
+        single_grp = single[grp]
+        sg = grp[single_grp]
+        d += np.bincount(
+            gtgt[sg],
+            weights=val[single_grp] ** 2
+            * np.diag(elem)[lidx[single_grp]]
+            * scale[cc_idx][gcell[sg]],
+            minlength=dofh.n_dofs,
+        )
+        # general rows (true master couplings): batched quadratic form
+        multi = np.nonzero(~single)[0]
+        if len(multi):
+            remap = np.full(len(ukey), -1, np.int64)
+            remap[multi] = np.arange(len(multi))
+            msel = remap[grp] >= 0
+            W = np.zeros((len(multi), nloc))
+            np.add.at(W, (remap[grp[msel]], lidx[msel]), val[msel])
+            quad = ((W @ elem) * W).sum(axis=1) * scale[cc_idx][gcell[multi]]
+            d += np.bincount(gtgt[multi], weights=quad, minlength=dofh.n_dofs)
 
     constrained = np.unique(np.concatenate([dirichlet, hang.slave]))
     d[constrained] = 1.0

@@ -112,12 +112,11 @@ def replicate(v: jax.Array, mesh: Mesh) -> jax.Array:
 # sub-communicators (multigrid_throughput.cc:1464-1501) without idle ranks.
 
 
-def place_hybrid_level(level, dmesh: Mesh):
-    """Place a HybridLevel's arrays on the device mesh according to its
-    format's n_shards (sharded if > 1, fully replicated if == 1)."""
+def place_hybrid_op(op, dmesh: Mesh):
+    """Place a HybridOperator's arrays on the device mesh according to its
+    n_shards (sharded if > 1, fully replicated if == 1)."""
     import dataclasses
 
-    op = level.op
     if op.n_shards > 1:
         sh1 = NamedSharding(dmesh, P(CELL_AXIS))
         sh2 = NamedSharding(dmesh, P(None, CELL_AXIS))
@@ -129,7 +128,7 @@ def place_hybrid_level(level, dmesh: Mesh):
     def rep_tree(t):
         return jax.tree.map(lambda a: put(a, rep), t)
 
-    op = dataclasses.replace(
+    return dataclasses.replace(
         op,
         KS=put(op.KS, rep),
         MS=put(op.MS, rep),
@@ -155,10 +154,26 @@ def place_hybrid_level(level, dmesh: Mesh):
         refresh_slots=rep_tree(op.refresh_slots),
         refresh_src=rep_tree(op.refresh_src),
         owner=put(op.owner, sh1),
-        sf_buckets=rep_tree(op.sf_buckets),
+        sf_patch=rep_tree(op.sf_patch),
+        sf_single=rep_tree(op.sf_single),
         sf_E1=put(op.sf_E1, rep),
         sf_slave_keep=put(op.sf_slave_keep, sh1),
+        sf_Eh=put(op.sf_Eh, rep) if op.sf_Eh is not None else None,
     )
+
+
+def place_hybrid_level(level, dmesh: Mesh):
+    """Place a HybridLevel's arrays on the device mesh according to its
+    format's n_shards (sharded if > 1, fully replicated if == 1)."""
+    import dataclasses
+
+    op = place_hybrid_op(level.op, dmesh)
+    if op.n_shards > 1:
+        sh1 = NamedSharding(dmesh, P(CELL_AXIS))
+    else:
+        sh1 = NamedSharding(dmesh, P())
+    rep = NamedSharding(dmesh, P())
+    put = jax.device_put
     return dataclasses.replace(
         level,
         op=op,
@@ -179,17 +194,57 @@ def hybrid_level_shard_count(
     return n_devices if n_cells >= grain_size * n_devices else 1
 
 
-def build_sharded_hybrid_levels(plan, level_dtype, dmesh: Mesh, n_devices: int):
-    """Hybrid levels for a GC plan, each sharded or replicated by the
-    granularity rule and placed on the device mesh."""
+def build_sharded_hybrid_levels(
+    plan,
+    level_dtype,
+    dmesh: Mesh,
+    n_devices: int,
+    policy_name: str = "",
+):
+    """Hybrid levels for a GC plan, each sharded or replicated, placed on the
+    device mesh.
+
+    ``policy_name`` selects a repartitioning policy (the reference's
+    PartitionerName dispatch, multigrid_throughput.cc:2066-2175): the policy's
+    cell->shard maps drive the device-major patch layout of every level.  A
+    level whose policy partition collapses to one shard — or, with no policy,
+    whose cell count drops below the granularity threshold — is replicated
+    (redundant compute, the sub-communicator analog).  Returns
+    (levels, partitions): the partitions actually applied (None entries for
+    replicated levels)."""
     from .. import api
+    from . import partition as PT
+
+    parts = None
+    if policy_name:
+        meshes = [m for m, _ in plan]
+        fine_dofh = None
+        if policy_name.startswith("CellWeightPolicy"):
+            from ..mesh.dof import distribute_dofs
+
+            fine_dofh = distribute_dofs(meshes[-1], plan[-1][1])
+        parts = PT.partition_hierarchy(policy_name, meshes, n_devices, fine_dofh)
 
     levels = []
-    for mesh0, degree in plan:
-        D = hybrid_level_shard_count(mesh0.n_cells, n_devices)
-        lv = api.build_level_hybrid(mesh0, degree, level_dtype, n_shards=D)
+    applied = []
+    for li, (mesh0, degree) in enumerate(plan):
+        cell_shard = None
+        if parts is not None and mesh0.n_cells >= n_devices:
+            part = np.asarray(parts[li])
+            n_eff = int(part.max()) + 1
+            if n_eff > 1:
+                cell_shard = part
+                D = n_devices
+            else:
+                D = 1
+        else:
+            D = hybrid_level_shard_count(mesh0.n_cells, n_devices)
+        lv = api.build_level_hybrid(
+            mesh0, degree, level_dtype, n_shards=D, cell_shard=cell_shard
+        )
         levels.append(place_hybrid_level(lv, dmesh))
-    return levels
+        applied.append(cell_shard)
+    return levels, applied
 
 
 def dryrun_sharded_solve(
@@ -233,13 +288,15 @@ def dryrun_sharded_solve(
     mg_data.smoother.degree = 3
     mg_data.coarse_solver.type = "amg"
 
-    def build_and_solve(dmesh: Mesh | None):
+    def build_and_solve(dmesh: Mesh | None, policy_name: str = ""):
         if dmesh is None:
             levels = [
                 api.build_level_hybrid(m, d, dtype, n_shards=1) for m, d in plan
             ]
         else:
-            levels = build_sharded_hybrid_levels(plan, dtype, dmesh, n_devices)
+            levels, _ = build_sharded_hybrid_levels(
+                plan, dtype, dmesh, n_devices, policy_name
+            )
         fine = levels[-1]
         gop = make_operator(fine.dofh, fine.hanging, dtype=dtype)
         problem = poisson.make_problem(fine.dofh, fine.hanging, gop, "Gaussian")
@@ -268,10 +325,16 @@ def dryrun_sharded_solve(
 
     x_ref, it_ref = build_and_solve(None)
     dmesh = make_device_mesh(n_devices)
-    x_sh, it_sh = build_and_solve(dmesh)
-    rel = float(
-        np.linalg.norm(x_sh - x_ref) / max(np.linalg.norm(x_ref), 1e-300)
-    )
-    assert rel < 1e-8, f"sharded solve diverged from single-device: {rel:e}"
-    assert abs(it_sh - it_ref) <= 1, (it_sh, it_ref)
-    return rel
+    rel_max = 0.0
+    # Morton-block default AND a weighted repartitioning policy: the same
+    # code must run at any partition (the reference's tria.repartition()
+    # property, multigrid_throughput.cc:2145-2170)
+    for policy in ("", "CellWeightPolicy-2.0"):
+        x_sh, it_sh = build_and_solve(dmesh, policy)
+        rel = float(
+            np.linalg.norm(x_sh - x_ref) / max(np.linalg.norm(x_ref), 1e-300)
+        )
+        assert rel < 1e-8, f"sharded solve ({policy!r}) diverged: {rel:e}"
+        assert abs(it_sh - it_ref) <= 1, (policy, it_sh, it_ref)
+        rel_max = max(rel_max, rel)
+    return rel_max

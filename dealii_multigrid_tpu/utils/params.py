@@ -81,6 +81,9 @@ class RunParameters:
     dim: int = 3
     profile_phases: bool = False  # per-phase MG timing table (extra compiles)
     number_type: str = "double"  # outer solve Number (reference: run<3,1,double,*>)
+    # TPU extension: shard the solve over this many devices (the mpirun -np N
+    # analog); 0 = all available devices, 1 = single device
+    n_shards: int = 1
     mg_data: MultigridParameters = field(default_factory=MultigridParameters)
 
     def effective_policy_name(self) -> str:
@@ -140,6 +143,7 @@ class RunParameters:
         # extensions beyond the reference key set (TPU build)
         p.dim = as_int(get("Dim"), p.dim)
         p.number_type = get("NumberType", p.number_type)
+        p.n_shards = as_int(get("NShards"), p.n_shards)
         if "DoParameterStudy" in raw:
             p.mg_data.do_parameter_study = as_bool(get("DoParameterStudy"), False)
         if "NRepetitions" in raw:

@@ -1,68 +1,201 @@
 """Per-phase multigrid timing (the reference's 7 MG signal hooks).
 
-The reference instruments pre-smooth / residual / restrict / coarse /
-prolong / edge / post-smooth per level per repetition through deal.II's
-Multigrid signals (multigrid_throughput.cc:1152-1234).  Under jit the whole
-V-cycle is one fused XLA computation, so phase times cannot be observed from
-inside the production solve; instead this module re-executes the identical
-cycle with each phase as its own jitted call and a block_until_ready fence —
-the reference-table columns (time_pre, time_residuum, time_res, time_cs,
-time_pro, time_post) come from here, while headline timings come from the
-fused solve.
+The reference instruments pre-smooth / residuum / restrict / coarse /
+prolong / edge-prolong / post-smooth per level per repetition through
+deal.II's Multigrid signals (multigrid_throughput.cc:1152-1234) and prints
+them as ``time_pre .. time_post`` plus the two preconditioner-boundary
+timers ``time_to_mg`` / ``time_to_global`` (:1381-1401).
+
+Under jit the whole V-cycle is one fused XLA computation, and on the axon
+TPU plugin every dispatched call carries ~35 ms of tunnel latency — so
+phases are measured by looping each phase (applied at ALL its levels) N
+times INSIDE one jit with a tiny scalar data dependency (preventing XLA
+from hoisting loop-invariant work) and reporting (t(2N) - t(N)) / N.
+Each phase costs two extra compiles; this is the opt-in ProfilePhases mode.
+
+Handles both the global-coarsening Multigrid and LocalSmoothingMG; for the
+latter ``edge_pro`` times the refinement-edge interface operators
+(vmult_interface_down/up, reference include/operator.h:191-226) and
+to_mg/to_global time the copy_to_mg/copy_from_mg index maps.
 """
 
 from __future__ import annotations
 
 import time
-from collections import defaultdict
 
 import jax
+import jax.numpy as jnp
+import numpy as np
 
 PHASES = ("pre", "residuum", "res", "cs", "pro", "edge_pro", "post")
 
 
-def profile_v_cycle(mg, b, n_reps: int = 3) -> dict:
-    """Times per phase (seconds, summed over levels, best of n_reps)."""
+def _fence(out):
+    float(jnp.asarray(jax.tree.leaves(out)[0]).ravel()[0])
+
+
+def _loop_time(fn, ops, vecs, n_loop: int = 8, reps: int = 2) -> float:
+    """Seconds per application of fn(ops, vecs) -> list of arrays, measured
+    loop-in-jit as (t(2N) - t(N)) / N (removes dispatch latency)."""
+
+    def make(n):
+        @jax.jit
+        def run(ops, vecs):
+            out0 = fn(ops, vecs)
+            accs0 = tuple(jnp.zeros_like(o) for o in jax.tree.leaves(out0))
+
+            def body(k, accs):
+                s = 1 + 1e-30 * accs[0].ravel()[0].astype(jnp.float32)
+                vv = jax.tree.map(lambda v: v * s.astype(v.dtype), vecs)
+                out = jax.tree.leaves(fn(ops, vv))
+                return tuple(a + o for a, o in zip(accs, out))
+
+            return jax.lax.fori_loop(0, n, body, accs0)
+
+        return run
+
+    r1, r2 = make(n_loop), make(2 * n_loop)
+    _fence(r1(ops, vecs)), _fence(r2(ops, vecs))  # compile + warm
+    t1 = t2 = np.inf
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        _fence(r1(ops, vecs))
+        t1 = min(t1, time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        _fence(r2(ops, vecs))
+        t2 = min(t2, time.perf_counter() - t0)
+    return max((t2 - t1) / n_loop, 0.0)
+
+
+def _rand_like(n, dtype, seed):
+    return jnp.asarray(
+        np.random.default_rng(seed).standard_normal(n), dtype=dtype
+    )
+
+
+def profile_v_cycle(mg, b, n_loop: int = 8) -> dict:
+    """Per-phase seconds (one V-cycle, summed over levels) for a
+    global-coarsening Multigrid (solvers/multigrid.py)."""
     L = mg.n_levels - 1
-    pre = [None] + [jax.jit(lambda sm, d, _l=l: mg.smoothers[_l].vmult(d)) for l in range(1, L + 1)]
-    res = [None] + [
-        jax.jit(lambda op, d, u, _l=l: d - mg.operators[_l].vmult(u))
-        for l in range(1, L + 1)
-    ]
-    rst = [None] + [jax.jit(lambda tr, r, _l=l: mg.transfers[_l].restrict(r)) for l in range(1, L + 1)]
-    pro = [None] + [jax.jit(lambda tr, u, _l=l: mg.transfers[_l].prolong(u)) for l in range(1, L + 1)]
-    pst = [None] + [
-        jax.jit(lambda sm, x, d, _l=l: mg.smoothers[_l].step(x, d))
-        for l in range(1, L + 1)
-    ]
-    cs = jax.jit(lambda solver, d: solver(d))
+    dtype = b.dtype
 
-    best = None
-    for _ in range(n_reps + 1):  # first rep = warm-up/compile
-        acc = defaultdict(float)
+    def vec(l, seed):
+        op = mg.operators[l]
+        n = getattr(op, "n_slots", None) or op.n_dofs
+        return _rand_like(n, dtype, seed)
 
-        def timed(key, fn, *args):
-            t0 = time.perf_counter()
-            out = fn(*args)
-            _ = float(jax.numpy.ravel(out)[0])  # true execution fence
-            acc[key] += time.perf_counter() - t0
-            return out
+    d = [vec(l, 100 + l) for l in range(L + 1)]
+    x = [vec(l, 200 + l) for l in range(L + 1)]
+    fine = list(range(1, L + 1))
 
-        def v(l, d):
-            if l == 0:
-                return timed("cs", cs, mg.coarse_solve, d)
-            x = timed("pre", pre[l], mg.smoothers[l], d)
-            r = timed("residuum", res[l], mg.operators[l], d, x)
-            dc = timed("res", rst[l], mg.transfers[l], r)
-            xc = v(l - 1, dc)
-            c = timed("pro", pro[l], mg.transfers[l], xc)
-            x = x + c
-            return timed("post", pst[l], mg.smoothers[l], x, d)
+    out = {ph: 0.0 for ph in PHASES}
+    out["pre"] = _loop_time(
+        lambda m, v: [m.smoothers[l].vmult(v[l - 1]) for l in fine], mg, [d[l] for l in fine], n_loop
+    )
+    out["residuum"] = _loop_time(
+        lambda m, v: [v[2 * (l - 1)] - m.operators[l].vmult(v[2 * (l - 1) + 1]) for l in fine],
+        mg,
+        [w for l in fine for w in (d[l], x[l])],
+        n_loop,
+    )
+    out["res"] = _loop_time(
+        lambda m, v: [m.transfers[l].restrict(v[l - 1]) for l in fine], mg, [d[l] for l in fine], n_loop
+    )
+    out["pro"] = _loop_time(
+        lambda m, v: [m.transfers[l].prolong(v[l - 1]) for l in fine], mg, [d[l - 1] for l in fine], n_loop
+    )
+    out["post"] = _loop_time(
+        lambda m, v: [m.smoothers[l].step(v[2 * (l - 1)], v[2 * (l - 1) + 1]) for l in fine],
+        mg,
+        [w for l in fine for w in (x[l], d[l])],
+        n_loop,
+    )
+    out["cs"] = _loop_time(lambda m, v: [m.coarse_solve(v[0])], mg, [d[0]], n_loop)
+    return out
 
-        v(L, b)
-        total = sum(acc.values())
-        if best is None or total < sum(best.values()):
-            best = dict(acc)
-    for ph in PHASES:
-        best.setdefault(ph, 0.0)
-    return best
+
+def profile_ls_cycle(lsmg, b, n_loop: int = 8) -> dict:
+    """Per-phase seconds for a LocalSmoothingMG (solvers/local_smoothing.py),
+    including the refinement-edge interface work (edge_pro) and the
+    copy_to_mg/copy_from_mg boundaries (to_mg/to_global)."""
+    L = len(lsmg.levels) - 1
+    dtype = b.dtype
+    d = [_rand_like(lv.n_dofs, dtype, 300 + i) for i, lv in enumerate(lsmg.levels)]
+    x = [_rand_like(lv.n_dofs, dtype, 400 + i) for i, lv in enumerate(lsmg.levels)]
+    fine = list(range(1, L + 1))
+
+    out = {ph: 0.0 for ph in PHASES}
+    out["pre"] = _loop_time(
+        lambda m, v: [m.smoothers[l].vmult(v[l - 1]) for l in fine], lsmg, [d[l] for l in fine], n_loop
+    )
+    out["residuum"] = _loop_time(
+        lambda m, v: [v[2 * (l - 1)] - m.levels[l].vmult(v[2 * (l - 1) + 1]) for l in fine],
+        lsmg,
+        [w for l in fine for w in (d[l], x[l])],
+        n_loop,
+    )
+    out["edge_pro"] = _loop_time(
+        lambda m, v: [
+            m.levels[l].interface_down(v[2 * (l - 1)])
+            + m.levels[l].interface_up(v[2 * (l - 1) + 1])
+            for l in fine
+        ],
+        lsmg,
+        [w for l in fine for w in (x[l], x[l])],
+        n_loop,
+    )
+    out["res"] = _loop_time(
+        lambda m, v: [m.transfers[l].restrict(v[l - 1]) for l in fine], lsmg, [d[l] for l in fine], n_loop
+    )
+    out["pro"] = _loop_time(
+        lambda m, v: [m.transfers[l].prolong(v[l - 1]) for l in fine], lsmg, [d[l - 1] for l in fine], n_loop
+    )
+    out["post"] = _loop_time(
+        lambda m, v: [m.smoothers[l].step(v[2 * (l - 1)], v[2 * (l - 1) + 1]) for l in fine],
+        lsmg,
+        [w for l in fine for w in (x[l], d[l])],
+        n_loop,
+    )
+    out["cs"] = _loop_time(lambda m, v: [m.coarse_solve(v[0])], lsmg, [d[0]], n_loop)
+
+    # copy_to_mg / copy_from_mg boundaries (reference mg_precon_timers)
+    def to_mg(m, v):
+        outs = []
+        for lev, cm in zip(m.levels, m.copy_maps):
+            dd = jnp.zeros(lev.n_dofs, v[0].dtype)
+            outs.append(dd.at[cm.level_idx].set(v[0][cm.global_idx]) * lev.keep)
+        return outs
+
+    def to_global(m, v):
+        o = jnp.zeros(m.n_dofs_global, v[0].dtype)
+        for lev, cm, u in zip(m.levels, m.copy_maps, v[1:]):
+            o = o.at[cm.global_idx].set(u[cm.level_idx])
+        return [o]
+
+    out["to_mg"] = _loop_time(to_mg, lsmg, [b], n_loop)
+    out["to_global"] = _loop_time(to_global, lsmg, [b] + x, n_loop)
+    return out
+
+
+def profile_preconditioner(precond, b, n_loop: int = 8) -> dict:
+    """Dispatch on preconditioner type; always returns the 7 PHASES plus
+    to_mg / to_global."""
+    from ..solvers.multigrid import PreconditionMG
+
+    if isinstance(precond, PreconditionMG):
+        out = profile_v_cycle(precond.mg, b.astype(precond.mg.operators[-1].dtype), n_loop)
+        # precision-boundary casts (reference connect_transfer_to_mg/global)
+        level_dtype = precond.mg.operators[-1].dtype
+        out["to_mg"] = _loop_time(
+            lambda m, v: [v[0].astype(level_dtype)], precond, [b], n_loop
+        )
+        out["to_global"] = _loop_time(
+            lambda m, v: [v[0].astype(b.dtype)],
+            precond,
+            [b.astype(level_dtype)],
+            n_loop,
+        )
+        return out
+    # PreconditionLS wrapper (api.py) or a bare LocalSmoothingMG
+    lsmg = getattr(precond, "lsmg", precond)
+    return profile_ls_cycle(lsmg, b.astype(lsmg.levels[-1].keep.dtype), n_loop)

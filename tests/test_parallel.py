@@ -83,3 +83,61 @@ def test_sharded_mg_matches_single_device():
 
     rel = dryrun_sharded_solve(8)
     assert rel < 1e-8
+
+
+def test_policy_changes_metrics():
+    """PartitionerName measurably alters the partition-quality columns
+    (reference: policy selection, multigrid_throughput.cc:2066-2175)."""
+    import numpy as np
+
+    from dealii_multigrid_tpu.mesh import generators
+    from dealii_multigrid_tpu.mesh.coarsening import geometric_coarsening_sequence
+    from dealii_multigrid_tpu.mesh.dof import distribute_dofs
+    from dealii_multigrid_tpu.parallel import metrics
+    from dealii_multigrid_tpu.parallel.partition import partition_hierarchy
+
+    mesh = generators.create("quadrant", 3, 3, 0)
+    seq = geometric_coarsening_sequence(mesh)
+    dofh = distribute_dofs(seq[-1], 2)
+    stats = {}
+    for name in ("DefaultPolicy", "CellWeightPolicy-2.0", "FirstChildPolicy"):
+        parts = partition_hierarchy(name, seq, 8, dofh)
+        stats[name] = metrics.multigrid_statistics(seq, 8, 2, partitions=parts)
+    # weighting hanging cells changes the workload balance
+    assert (
+        stats["CellWeightPolicy-2.0"]["workload_eff"]
+        != stats["DefaultPolicy"]["workload_eff"]
+    )
+    # FirstChild maximises parent/child locality
+    assert (
+        stats["FirstChildPolicy"]["vertical_eff"]
+        >= stats["DefaultPolicy"]["vertical_eff"]
+    )
+
+
+def test_sharded_solve_with_policy_api():
+    """params.n_shards + Partitioner alias drive a sharded production solve
+    through the api, with sub_comm_size reported."""
+    import jax.numpy as jnp
+
+    from dealii_multigrid_tpu import api
+    from dealii_multigrid_tpu.mesh import generators
+    from dealii_multigrid_tpu.utils.params import RunParameters
+
+    p = RunParameters()
+    p.type = "HMG-global"
+    p.geometry_type = "quadrant"
+    p.n_ref_global = 3
+    p.fe_degree_fine = 2
+    p.number_type = "float"
+    p.mg_number_type = "float"
+    p.mg_data.coarse_solver.type = "amg"
+    p.mg_data.smoother.degree = 3
+    p.mg_data.n_repetitions = 1
+    p.n_shards = 8
+    p.partitioner = 5  # CellWeightPolicy-2.0
+    mesh = generators.create("quadrant", 3, 3, 0)
+    res, prob, lvls = api.solve_with_global_coarsening_hybrid(p, mesh)
+    assert res.converged and res.n_iterations <= 6
+    assert res.n_shards == 8
+    assert any(lv.op.n_shards == 8 for lv in lvls)
