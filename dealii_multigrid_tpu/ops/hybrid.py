@@ -48,6 +48,7 @@ HIGHEST = jax.lax.Precision.HIGHEST
 from ..mesh.octree import AdaptiveMesh, morton_encode
 from . import element, tensor
 from .operator import split_boundary_constraints
+from ..utils.device import to_device
 
 # ---------------------------------------------------------------------------
 # host-side format construction
@@ -186,6 +187,9 @@ def repartition_format(
     else:
         cell_shard = np.asarray(cell_shard, np.int64)
         assert cell_shard.max(initial=0) < D
+        # a negative id (e.g. -1 for "unassigned" from a policy) would silently
+        # scramble the layout via Python negative indexing
+        assert cell_shard.min(initial=0) >= 0
         p_shard = (
             cell_shard[fmt.patch_cells[:, 0]] if NP else np.zeros(0, np.int64)
         )
@@ -791,9 +795,7 @@ class HybridOperator:
             up = sweeps(self._patches(r), self.nbr, self.nbr_mask, self.S)
             r = self._with_patches(r, up)
         if self.NS and self.use_ssweep:
-            n1 = round(self.nloc ** (1 / 3))
-            while n1**3 < self.nloc:
-                n1 += 1
+            n1 = self._n1
             us = self._singles(r).reshape(self.NS, n1, n1, n1)
             us = sweeps(us, self.snbr, self.snbr_mask, n1)
             r = self._with_singles(r, us)
@@ -934,9 +936,9 @@ def make_hybrid_operator(
             masks.append(ct_mask(fs))
         sf_patch.append(
             (
-                jnp.asarray(np.concatenate(faces), jnp.int32),
-                jnp.asarray(np.concatenate(srcs), jnp.int32),
-                jnp.asarray(np.concatenate(masks), dtype),
+                to_device(np.concatenate(faces), jnp.int32),
+                to_device(np.concatenate(srcs), jnp.int32),
+                to_device(np.concatenate(masks), dtype),
             )
             if faces
             else None
@@ -953,11 +955,11 @@ def make_hybrid_operator(
             pbs.append(np.full(len(sidx), pb, np.int64))
         sf_single.append(
             (
-                jnp.asarray(np.concatenate(faces), jnp.int32),
-                jnp.asarray(np.concatenate(srcs), jnp.int32),
-                jnp.asarray(np.concatenate(masks), dtype),
-                jnp.asarray(np.concatenate(pas), jnp.int32),
-                jnp.asarray(np.concatenate(pbs), jnp.int32),
+                to_device(np.concatenate(faces), jnp.int32),
+                to_device(np.concatenate(srcs), jnp.int32),
+                to_device(np.concatenate(masks), dtype),
+                to_device(np.concatenate(pas), jnp.int32),
+                to_device(np.concatenate(pbs), jnp.int32),
             )
             if faces
             else None
@@ -1032,52 +1034,52 @@ def make_hybrid_operator(
             osel = gmap[fmt.irr_out_group] >= 0
             irr_buckets.append(
                 (
-                    jnp.asarray(slots_s, jnp.int32),
-                    jnp.asarray(fmt.irr_out_slots[osel], jnp.int32),
-                    jnp.asarray(gmap[fmt.irr_out_group[osel]], jnp.int32),
+                    to_device(slots_s, jnp.int32),
+                    to_device(fmt.irr_out_slots[osel], jnp.int32),
+                    to_device(gmap[fmt.irr_out_group[osel]], jnp.int32),
                 )
             )
     Kc = max(hang.masters.shape[1], 1)
 
     return HybridOperator(
-        KS=jnp.asarray(KS, dtype),
-        MS=jnp.asarray(MS, dtype),
-        elem=jnp.asarray(elem_m, dtype),
-        pscale=jnp.asarray(h_p, dtype),
-        sscale=jnp.asarray(h_s, dtype),
-        nbr=jnp.asarray(np.maximum(fmt.nbr, 0), jnp.int32),
-        nbr_mask=jnp.asarray((fmt.nbr >= 0).astype(np.float64), dtype),
+        KS=to_device(KS, dtype),
+        MS=to_device(MS, dtype),
+        elem=to_device(elem_m, dtype),
+        pscale=to_device(h_p, dtype),
+        sscale=to_device(h_s, dtype),
+        nbr=to_device(np.maximum(fmt.nbr, 0), jnp.int32),
+        nbr_mask=to_device((fmt.nbr >= 0).astype(np.float64), dtype),
         # pre-reordered for the [cell, z, y, x] singleton lattice axes
-        snbr=jnp.asarray(np.maximum(fmt.nbr_s[SINGLE_SWEEP_ROWS], 0), jnp.int32),
-        snbr_mask=jnp.asarray(
+        snbr=to_device(np.maximum(fmt.nbr_s[SINGLE_SWEEP_ROWS], 0), jnp.int32),
+        snbr_mask=to_device(
             (fmt.nbr_s[SINGLE_SWEEP_ROWS] >= 0).astype(np.float64), dtype
         ),
         irr_buckets=tuple(irr_buckets),
-        dirichlet_keep=jnp.asarray(dirichlet_keep, dtype),
-        slave_keep=jnp.asarray(slave_keep, dtype),
-        constrained_keep=jnp.asarray(constrained_keep, dtype),
-        slave_master_slots=jnp.asarray(
+        dirichlet_keep=to_device(dirichlet_keep, dtype),
+        slave_keep=to_device(slave_keep, dtype),
+        constrained_keep=to_device(constrained_keep, dtype),
+        slave_master_slots=to_device(
             master_rep if master_rep.size else np.zeros((0, Kc), np.int64), jnp.int32
         ),
-        slave_w=jnp.asarray(
+        slave_w=to_device(
             hang.weights if hang.weights.size else np.zeros((0, Kc)), dtype
         ),
-        slave_all_slots=jnp.asarray(sl_flat, jnp.int32),
-        slave_all_src=jnp.asarray(sl_grp, jnp.int32),
-        slave_rep=jnp.asarray(fmt.rep_slot[hang.slave] if len(hang.slave) else np.zeros(0, np.int64), jnp.int32),
-        ct_target=jnp.asarray(ct_target, jnp.int32),
-        ct_src=jnp.asarray(ct_src, jnp.int32),
-        ct_w=jnp.asarray(ct_w, dtype),
-        refresh_slots=jnp.asarray(refresh_slots, jnp.int32),
-        refresh_src=jnp.asarray(refresh_src, jnp.int32),
-        owner=jnp.asarray(fmt.owner, dtype),
+        slave_all_slots=to_device(sl_flat, jnp.int32),
+        slave_all_src=to_device(sl_grp, jnp.int32),
+        slave_rep=to_device(fmt.rep_slot[hang.slave] if len(hang.slave) else np.zeros(0, np.int64), jnp.int32),
+        ct_target=to_device(ct_target, jnp.int32),
+        ct_src=to_device(ct_src, jnp.int32),
+        ct_w=to_device(ct_w, dtype),
+        refresh_slots=to_device(refresh_slots, jnp.int32),
+        refresh_src=to_device(refresh_src, jnp.int32),
+        owner=to_device(fmt.owner, dtype),
         use_ssweep=fmt.use_singleton_sweeps,
         sf_patch=tuple(sf_patch),
         sf_single=tuple(sf_single),
         sf_levels=tuple(int(l) for l in sf_levels),
-        sf_E1=jnp.asarray(E1, dtype),
-        sf_slave_keep=jnp.asarray(sf_slave_keep, dtype),
-        sf_Eh=jnp.asarray(np.stack([Eh[0], Eh[1]]), dtype),
+        sf_E1=to_device(E1, dtype),
+        sf_slave_keep=to_device(sf_slave_keep, dtype),
+        sf_Eh=to_device(np.stack([Eh[0], Eh[1]]), dtype),
         NP=fmt.n_patches,
         NS=fmt.n_singles,
         S=fmt.S,

@@ -38,6 +38,7 @@ from .hybrid import (
     unpack_singles,
 )
 from ..mesh.dof import local_node_indices
+from ..utils.device import to_device
 
 
 HIGHEST = jax.lax.Precision.HIGHEST
@@ -366,29 +367,29 @@ def make_hybrid_transfer(
     id_bucket = None
     if id_pairs[0]:
         id_bucket = (
-            jnp.asarray(np.asarray(id_pairs[0]), jnp.int32),
-            jnp.asarray(np.asarray(id_pairs[1]), jnp.int32),
+            to_device(np.asarray(id_pairs[0]), jnp.int32),
+            to_device(np.asarray(id_pairs[1]), jnp.int32),
         )
     irr_id = None
     if irr_id_f:
         irr_id = (
-            jnp.asarray(np.asarray(irr_id_f), jnp.int32),
-            jnp.asarray(np.stack(irr_id_slots), jnp.int32),
+            to_device(np.asarray(irr_id_f), jnp.int32),
+            to_device(np.stack(irr_id_slots), jnp.int32),
         )
     irr_patch = None
     if irr_f:
         irr_patch = (
-            jnp.asarray(np.asarray(irr_f), jnp.int32),
-            jnp.asarray(np.stack(irr_slots_list), jnp.int32),
+            to_device(np.asarray(irr_f), jnp.int32),
+            to_device(np.stack(irr_slots_list), jnp.int32),
         )
 
     return HybridTransfer(
         coarse_op=coarse_op,
         fine_constrained_keep=fine_op.constrained_keep,
         fine_owner=fine_op.owner,
-        E1=jnp.asarray(E1, dtype),
+        E1=to_device(E1, dtype),
         patch_buckets=tuple(
-            (jnp.asarray(f, jnp.int32), jnp.asarray(c, jnp.int32))
+            (to_device(f, jnp.int32), to_device(c, jnp.int32))
             for f, c, off in patch_buckets
         ),
         patch_offsets=tuple(tuple(int(x) for x in off) for f, c, off in patch_buckets),
@@ -396,7 +397,7 @@ def make_hybrid_transfer(
         irr_patch=irr_patch,
         irr_id=irr_id,
         single_buckets=tuple(
-            (jnp.asarray(s, jnp.int32), jnp.asarray(src, jnp.int32), jnp.asarray(M, dtype))
+            (to_device(s, jnp.int32), to_device(src, jnp.int32), to_device(M, dtype))
             for s, src, M in single_buckets
         ),
         S_f=fine_fmt.S,

@@ -21,6 +21,7 @@ import numpy as np
 
 from ..mesh.dof import Constraints, DoFHandler, local_node_indices
 from . import element
+from ..utils.device import to_device
 
 
 def _register(cls, data_fields, meta_fields=()):
@@ -173,21 +174,21 @@ def make_operator(
     constrained = np.unique(np.concatenate([dirichlet, hang.slave])).astype(np.int32)
     K = max(hang.masters.shape[1], 1)
     return LaplaceOperator(
-        cell_dofs=jnp.asarray(dofh.cell_dofs, dtype=jnp.int32),
-        scale=jnp.asarray(scale, dtype=dtype),
-        elem=jnp.asarray(elem, dtype=dtype),
+        cell_dofs=to_device(dofh.cell_dofs, dtype=jnp.int32),
+        scale=to_device(scale, dtype=dtype),
+        elem=to_device(elem, dtype=dtype),
         hanging=ConstraintTable(
-            jnp.asarray(hang.slave, dtype=jnp.int32),
-            jnp.asarray(
+            to_device(hang.slave, dtype=jnp.int32),
+            to_device(
                 hang.masters if hang.masters.size else np.zeros((0, K), np.int32),
                 dtype=jnp.int32,
             ),
-            jnp.asarray(
+            to_device(
                 hang.weights if hang.weights.size else np.zeros((0, K)), dtype=dtype
             ),
         ),
-        dirichlet=jnp.asarray(dirichlet, dtype=jnp.int32),
-        constrained=jnp.asarray(constrained, dtype=jnp.int32),
+        dirichlet=to_device(dirichlet, dtype=jnp.int32),
+        constrained=to_device(constrained, dtype=jnp.int32),
         n_dofs=dofh.n_dofs,
     )
 

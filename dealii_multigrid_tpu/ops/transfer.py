@@ -24,6 +24,7 @@ from ..mesh.dof import DoFHandler, local_node_indices
 from ..mesh.octree import morton_encode
 from . import tensor
 from .operator import ConstraintTable, LaplaceOperator, distribute, distribute_transpose
+from ..utils.device import to_device
 
 
 @dataclass(frozen=True)
@@ -194,15 +195,15 @@ def make_two_level_transfer(
     return TwoLevelTransfer(
         buckets=tuple(
             TransferBucket(
-                jnp.asarray(fc, jnp.int32),
-                jnp.asarray(cc, jnp.int32),
-                jnp.asarray(M, dtype),
+                to_device(fc, jnp.int32),
+                to_device(cc, jnp.int32),
+                to_device(M, dtype),
             )
             for fc, cc, M in buckets
         ),
         fine_cell_dofs=fine_op.cell_dofs,
         coarse_cell_dofs=coarse_op.cell_dofs,
-        fine_weight=jnp.asarray(weight, dtype),
+        fine_weight=to_device(weight, dtype),
         fine_constrained=fine_op.constrained,
         coarse_hanging=coarse_op.hanging,
         coarse_dirichlet=coarse_op.dirichlet,

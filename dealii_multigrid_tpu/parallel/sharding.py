@@ -25,6 +25,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..ops.operator import ConstraintTable, LaplaceOperator
+from ..utils.device import to_device
 
 CELL_AXIS = "cells"
 
@@ -265,6 +266,10 @@ def dryrun_sharded_solve(
     idle ranks).  Returns the relative L2 difference between the sharded and
     the single-device solution in the GLOBAL DoF layout (the slot layouts
     differ by construction).
+
+    NOTE: enables jax_enable_x64 PROCESS-GLOBALLY (the f64 comparison needs
+    it); later solves in the same process inherit f64 dtype promotion.
+    Callers that care should save/restore jax.config.jax_enable_x64.
     """
     import jax
 
@@ -300,7 +305,7 @@ def dryrun_sharded_solve(
         fine = levels[-1]
         gop = make_operator(fine.dofh, fine.hanging, dtype=dtype)
         problem = poisson.make_problem(fine.dofh, fine.hanging, gop, "Gaussian")
-        rhs = jnp.asarray(
+        rhs = to_device(
             fine.fmt.from_global(np.asarray(problem.rhs, np.float64)), dtype
         )
         if dmesh is not None and fine.op.n_shards > 1:

@@ -22,6 +22,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import scipy.sparse as sp
+from ..utils.device import to_device
 
 
 @dataclass(frozen=True)
@@ -58,7 +59,7 @@ def _to_ell(A: sp.csr_matrix, dtype) -> ELLMatrix:
         pos = A.indptr[:-1][has] + k
         idx[has, k] = A.indices[pos]
         vals[has, k] = A.data[pos]
-    return ELLMatrix(jnp.asarray(idx), jnp.asarray(vals, dtype), A.shape)
+    return ELLMatrix(to_device(idx), to_device(vals, dtype), A.shape)
 
 
 def _greedy_aggregate(S: sp.csr_matrix) -> np.ndarray:
@@ -168,7 +169,7 @@ def build_amg(
         lev = AMGLevel(
             A=_to_ell(A, dtype),
             P=P_for_level,
-            inv_diag=jnp.asarray(1.0 / np.where(d == 0, 1.0, d), dtype),
+            inv_diag=to_device(1.0 / np.where(d == 0, 1.0, d), dtype),
             omega=omega,
         )
         levels.append(lev)
@@ -198,4 +199,4 @@ def build_amg(
     Ad += 1e-12 * np.eye(Ad.shape[0]) * max(Ad.diagonal().max(), 1.0)
     chol = np.linalg.cholesky(Ad)
     cd = jnp.float32 if dtype == jnp.bfloat16 else dtype
-    return AMGPreconditioner(tuple(levels), jnp.asarray(chol, cd), n_cycles=n_cycles)
+    return AMGPreconditioner(tuple(levels), to_device(chol, cd), n_cycles=n_cycles)

@@ -68,6 +68,7 @@ def assemble_sparse_matrix(
 
 
 from dataclasses import dataclass
+from ..utils.device import to_device
 
 
 @dataclass(frozen=True)
@@ -140,7 +141,7 @@ def make_direct_coarse_solver(
     """Dense Cholesky coarse solver (setup on host, apply on device)."""
     A = assemble_sparse_matrix(dofh, hanging).toarray()
     Lnp = np.linalg.cholesky(A)
-    L = jnp.asarray(Lnp, dtype=jnp.float32 if dtype == jnp.bfloat16 else dtype)
+    L = to_device(Lnp, dtype=jnp.float32 if dtype == jnp.bfloat16 else dtype)
     return DirectCoarseSolver(L, to_idx, from_idx)
 
 

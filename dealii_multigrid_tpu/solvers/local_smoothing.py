@@ -35,6 +35,7 @@ from ..mesh.dof import DoFHandler, distribute_dofs, local_node_indices
 from ..mesh.octree import AdaptiveMesh, morton_encode
 from ..ops import element, tensor
 from .chebyshev import ChebyshevSmoother
+from ..utils.device import to_device
 
 
 def level_mesh(active: AdaptiveMesh, l: int) -> AdaptiveMesh:
@@ -285,12 +286,12 @@ def build_local_smoothing_mg(
         )
         diag[keep == 0.0] = 1.0
         lev = LSLevel(
-            cell_dofs=jnp.asarray(dofh.cell_dofs, jnp.int32),
-            scale=jnp.asarray(scale, dtype),
-            elem=jnp.asarray(elem, dtype),
-            keep=jnp.asarray(keep, dtype),
-            edge_ind=jnp.asarray(edge.astype(np.float64), dtype),
-            inv_diag=jnp.asarray(1.0 / diag, dtype),
+            cell_dofs=to_device(dofh.cell_dofs, jnp.int32),
+            scale=to_device(scale, dtype),
+            elem=to_device(elem, dtype),
+            keep=to_device(keep, dtype),
+            edge_ind=to_device(edge.astype(np.float64), dtype),
+            inv_diag=to_device(1.0 / diag, dtype),
             n_dofs=dofh.n_dofs,
         )
         levels.append(lev)
@@ -309,7 +310,7 @@ def build_local_smoothing_mg(
             lidx = np.zeros(0, np.int64)
             gidx = np.zeros(0, np.int64)
         copy_maps.append(
-            CopyMap(jnp.asarray(lidx, jnp.int32), jnp.asarray(gidx, jnp.int32))
+            CopyMap(to_device(lidx, jnp.int32), to_device(gidx, jnp.int32))
         )
 
     # transfers between consecutive level meshes (bucket by octant)
@@ -332,9 +333,9 @@ def build_local_smoothing_mg(
             if len(s):
                 buckets.append(
                     (
-                        jnp.asarray(s, jnp.int32),
-                        jnp.asarray(pos[s], jnp.int32),
-                        jnp.asarray(_octant_matrix(dim, p, o), dtype),
+                        to_device(s, jnp.int32),
+                        to_device(pos[s], jnp.int32),
+                        to_device(_octant_matrix(dim, p, o), dtype),
                     )
                 )
         transfers.append(
@@ -342,7 +343,7 @@ def build_local_smoothing_mg(
                 buckets=tuple(buckets),
                 fine_cell_dofs=fine.cell_dofs,
                 coarse_cell_dofs=coarse.cell_dofs,
-                fine_weight=jnp.asarray(1.0 / np.maximum(valence, 1), dtype),
+                fine_weight=to_device(1.0 / np.maximum(valence, 1), dtype),
                 n_f=fine.n_dofs,
                 n_c=coarse.n_dofs,
             )
