@@ -113,7 +113,9 @@ def run_config(params: RunParameters, table: ConvergenceTable) -> None:
             partitions = partition_hierarchy(
                 params.effective_policy_name(), meshes, n_shards, problem.dofh
             )
-        stats = metrics.multigrid_statistics(
+        # reference-format per-level min/max/avg tables + summary values
+        # (mg_tools.h:267-512, printed under verbose like the reference)
+        stats = metrics.print_multigrid_statistics(
             meshes, n_shards, params.fe_degree_fine, partitions=partitions
         )
         for k, v in stats.items():

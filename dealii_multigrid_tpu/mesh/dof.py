@@ -93,8 +93,10 @@ def distribute_dofs(mesh: AdaptiveMesh, degree: int) -> DoFHandler:
     cols.append(ent_level.reshape(-1))
     keys = _pack_rows(cols, [gb] * dim + [dim, 6])
 
-    uniq, first, inverse = np.unique(keys, return_index=True, return_inverse=True)
-    n_dofs = len(uniq)
+    from .native import unique_inverse
+
+    first, inverse = unique_inverse(keys)
+    n_dofs = len(first)
     cell_dofs = inverse.reshape(-1, n_loc).astype(np.int32)
 
     # geometric positions (true Gauss-Lobatto) and boundary mask

@@ -81,3 +81,40 @@ def balance_2to1(level: np.ndarray, anchor: np.ndarray):
             return out_lv[:m].copy(), out_an[:m].copy()
         cap = int(m * 1.2)
     return None
+
+
+def _bind_unique(lib: ctypes.CDLL) -> None:
+    if getattr(lib, "_unique_bound", False):
+        return
+    lib.mgtpu_unique_inverse_i64.restype = ctypes.c_int64
+    lib.mgtpu_unique_inverse_i64.argtypes = [
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int64),
+    ]
+    lib._unique_bound = True
+
+
+def unique_inverse(keys: np.ndarray):
+    """np.unique(keys, return_index=True, return_inverse=True) for int64 keys
+    via the native radix kernel (~10x NumPy's sort-based unique on the
+    one-core host).  Returns (first, inverse): ``first`` = original index of
+    each unique key (key-ascending), ``inverse`` = group id per input.
+    Falls back to NumPy when the library is unavailable."""
+    keys = np.ascontiguousarray(keys, dtype=np.int64)
+    lib = load()
+    if lib is None or keys.min(initial=0) < 0:
+        _, first, inverse = np.unique(keys, return_index=True, return_inverse=True)
+        return first, inverse
+    _bind_unique(lib)
+    n = len(keys)
+    inverse = np.empty(n, dtype=np.int64)
+    first = np.empty(n, dtype=np.int64)
+    g = lib.mgtpu_unique_inverse_i64(
+        keys.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        n,
+        inverse.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        first.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+    )
+    return first[:g].copy(), inverse

@@ -253,7 +253,10 @@ def compute_diagonal(
         nz = val != 0.0
         cidx, tgt, lidx, val = cidx[nz], tgt[nz], lidx[nz], val[nz]
         key = cidx * np.int64(dofh.n_dofs) + tgt
-        ukey, grp = np.unique(key, return_inverse=True)
+        from ..mesh.native import unique_inverse
+
+        ufirst, grp = unique_inverse(key)
+        ukey = key[ufirst]
         gcell = (ukey // dofh.n_dofs).astype(np.int64)
         gtgt = (ukey % dofh.n_dofs).astype(np.int64)
         counts = np.bincount(grp, minlength=len(ukey))

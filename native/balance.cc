@@ -126,3 +126,62 @@ int64_t mgtpu_balance_2to1(const int32_t* lv, const int64_t* an, int64_t n,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Stable unique-inverse over int64 keys (the np.unique(return_index=True,
+// return_inverse=True) hot path of DoF enumeration, dof.py::distribute_dofs).
+// LSD radix sort of (key, index) pairs — stable, so `first` is the minimum
+// original index of each group, matching np.unique exactly.
+// ---------------------------------------------------------------------------
+
+extern "C" {
+
+// keys[n] (non-negative), outputs: inverse[n] (group id per input),
+// first[<=n] (original index of first occurrence per group, group-sorted by
+// key).  Returns the number of unique keys.
+int64_t mgtpu_unique_inverse_i64(const int64_t* keys, int64_t n,
+                                 int64_t* inverse, int64_t* first) {
+  if (n == 0) return 0;
+  std::vector<int64_t> idx(n), tmp(n);
+  for (int64_t i = 0; i < n; ++i) idx[i] = i;
+  // LSD radix over 16-bit digits; skip passes where all keys share the digit
+  std::array<int64_t, 65536> count;
+  for (int pass = 0; pass < 4; ++pass) {
+    const int shift = pass * 16;
+    count.fill(0);
+    for (int64_t i = 0; i < n; ++i)
+      ++count[(uint64_t)(keys[idx[i]]) >> shift & 0xFFFF];
+    bool trivial = false;
+    for (int d = 0; d < 65536; ++d)
+      if (count[d] == n) {
+        trivial = true;
+        break;
+      }
+    if (trivial) continue;
+    int64_t sum = 0;
+    for (int d = 0; d < 65536; ++d) {
+      const int64_t c = count[d];
+      count[d] = sum;
+      sum += c;
+    }
+    for (int64_t i = 0; i < n; ++i)
+      tmp[count[(uint64_t)(keys[idx[i]]) >> shift & 0xFFFF]++] = idx[i];
+    idx.swap(tmp);
+  }
+  int64_t g = -1;
+  int64_t prev = 0;
+  for (int64_t i = 0; i < n; ++i) {
+    const int64_t j = idx[i];
+    if (g < 0 || keys[j] != prev) {
+      ++g;
+      first[g] = j;
+      prev = keys[j];
+    } else if (j < first[g]) {
+      first[g] = j;
+    }
+    inverse[j] = g;
+  }
+  return g + 1;
+}
+
+}  // extern "C"

@@ -1,10 +1,7 @@
-"""Break down the end-to-end setup + solve cost of the bench config.
+"""Per-stage wall-clock breakdown of the benchmark setup path.
 
-Times every host/compile phase of solve_with_global_coarsening_hybrid
-separately (mesh, per-level dof/hanging/format/operator/diagonal/eig,
-transfers, coarse solver, RHS, warm-up compile, timed solve).
-
-Usage: python scripts/profile_setup.py [r] [p]
+Mirrors bench.py's solve_with_global_coarsening_hybrid flow but times every
+host/compile stage separately.  Usage: python scripts/profile_setup.py [r] [p]
 """
 
 import sys
@@ -14,16 +11,14 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+_T0 = time.perf_counter()
+_LAST = [_T0]
 
-class T:
-    def __init__(self):
-        self.t0 = time.perf_counter()
-        self.acc = {}
 
-    def lap(self, name):
-        t = time.perf_counter()
-        self.acc[name] = self.acc.get(name, 0.0) + (t - self.t0)
-        self.t0 = t
+def mark(label):
+    now = time.perf_counter()
+    print(f"{label:42s} {now - _LAST[0]:8.2f} s   (total {now - _T0:7.1f} s)", flush=True)
+    _LAST[0] = now
 
 
 def main():
@@ -38,105 +33,157 @@ def main():
         make_hanging_node_constraints,
     )
     from dealii_multigrid_tpu.models import poisson
-    from dealii_multigrid_tpu.ops import hybrid as hy
+    from dealii_multigrid_tpu.ops import hybrid as _hy
     from dealii_multigrid_tpu.ops.operator import compute_diagonal, make_operator
-    from dealii_multigrid_tpu.solvers.chebyshev import ChebyshevSmoother
     from dealii_multigrid_tpu.solvers.multigrid import PreconditionMG
-    from dealii_multigrid_tpu.utils.params import MultigridParameters
+    from dealii_multigrid_tpu.utils.params import RunParameters
+    from dealii_multigrid_tpu.utils.device import to_device
 
-    t = T()
+    mark("imports")
+
+    params = RunParameters()
+    params.type = "HMG-global"
+    params.geometry_type = "quadrant"
+    params.n_ref_global = r
+    params.fe_degree_fine = p
+    params.number_type = "float"
+    params.mg_number_type = "float"
+    params.mg_data.coarse_solver.type = "amg"
+    params.mg_data.smoother.degree = 3
+    params.mg_data.cg_normal.reltol = 1e-4
+    params.mg_data.n_repetitions = 5
+
     mesh = generators.create("quadrant", 3, r, 0)
-    t.lap("mesh")
+    mark("mesh generation")
     tri_seq = geometric_coarsening_sequence(mesh)
-    t.lap("coarsening_seq")
+    mark("coarsening sequence")
     plan = api.gc_level_plan("HMG-global", tri_seq, p)
 
     levels = []
-    for m, d in plan:
+    for i, (m, d) in enumerate(plan):
+        t0 = time.perf_counter()
         dofh = distribute_dofs(m, d)
-        t.lap("distribute_dofs")
+        t1 = time.perf_counter()
         hanging = make_hanging_node_constraints(dofh)
-        t.lap("hanging")
-        fmt = hy.build_hybrid_format(dofh, K=8)
-        t.lap("format")
-        op = hy.make_hybrid_operator(fmt, hanging, dtype=jnp.float32)
-        t.lap("operator(sf)")
+        t2 = time.perf_counter()
+        fmt = _hy.build_hybrid_format(dofh, K=8)
+        t3 = time.perf_counter()
+        op = _hy.make_hybrid_operator(fmt, hanging, dtype=jnp.float32)
+        t4 = time.perf_counter()
         diag = compute_diagonal(dofh, hanging)
-        t.lap("diagonal")
-        inv_diag = jnp.asarray(fmt.from_global(1.0 / diag), jnp.float32)
+        inv_diag = to_device(fmt.from_global(1.0 / diag), dtype=jnp.float32)
+        t5 = time.perf_counter()
         rng = np.random.default_rng(42)
-        b0 = jnp.asarray(fmt.from_global(rng.standard_normal(dofh.n_dofs)), jnp.float32)
-        t.lap("to_device")
-        levels.append(
-            api.HybridLevel(
-                mesh=m, degree=d, dofh=dofh, hanging=hanging, fmt=fmt, op=op,
-                inv_diag=inv_diag, eig_b0=b0,
-                from_global_idx=jnp.asarray(fmt.slot_dof, jnp.int32),
-                to_global_idx=jnp.asarray(fmt.rep_slot, jnp.int32),
-            )
+        b0 = to_device(fmt.from_global(rng.standard_normal(dofh.n_dofs)), jnp.float32)
+        lv = api.HybridLevel(
+            mesh=m, degree=d, dofh=dofh, hanging=hanging, fmt=fmt, op=op,
+            inv_diag=inv_diag, eig_b0=b0,
+            from_global_idx=to_device(fmt.slot_dof, jnp.int32),
+            to_global_idx=to_device(fmt.rep_slot, jnp.int32),
         )
+        levels.append(lv)
+        print(
+            f"  level {i}: n_cells={m.n_cells:8d} dofs={t1-t0:6.2f}s "
+            f"hang={t2-t1:6.2f}s fmt={t3-t2:6.2f}s op={t4-t3:6.2f}s "
+            f"diag={t5-t4:6.2f}s", flush=True,
+        )
+        _LAST[0] = time.perf_counter()
+    mark("ALL level builds")
     fine = levels[-1]
-    print(f"levels={len(levels)} n_dofs={fine.dofh.n_dofs}")
 
-    mg_data = MultigridParameters()
-    mg_data.smoother.degree = 3
-    mg_data.coarse_solver.type = "amg"
+    from dealii_multigrid_tpu.ops import hybrid_transfer as _hyt
 
-    # transfers
-    from dealii_multigrid_tpu.ops import hybrid_transfer as hyt
     transfers = [None]
     for l in range(1, len(levels)):
         transfers.append(
-            hyt.make_hybrid_transfer(
-                levels[l].fmt, levels[l - 1].fmt, levels[l].op, levels[l - 1].op,
-                dtype=jnp.float32,
+            _hyt.make_hybrid_transfer(
+                levels[l].fmt, levels[l - 1].fmt,
+                levels[l].op, levels[l - 1].op, dtype=jnp.float32,
             )
         )
-    t.lap("transfers")
-    smoothers = [None]
-    for l in range(1, len(levels)):
-        smoothers.append(
-            ChebyshevSmoother.create(
-                levels[l].op, levels[l].inv_diag,
-                degree=mg_data.smoother.degree,
-                smoothing_range=mg_data.smoother.smoothing_range,
-                eig_cg_n_iterations=mg_data.smoother.eig_cg_n_iterations,
-                use_op_dot=True, b0=levels[l].eig_b0,
-            )
+    mark("transfers")
+
+    from dealii_multigrid_tpu.solvers.chebyshev import (
+        ChebyshevSmoother,
+        estimate_eigenvalue_ranges,
+    )
+
+    ranges = estimate_eigenvalue_ranges(
+        [lv.op for lv in levels[1:]],
+        [lv.inv_diag for lv in levels[1:]],
+        [lv.eig_b0 for lv in levels[1:]],
+        n_iterations=params.mg_data.smoother.eig_cg_n_iterations,
+        use_op_dot=True,
+    )
+    mark("eigenvalue estimation (batched)")
+    smoothers = [None] + [
+        ChebyshevSmoother.create(
+            lv.op, lv.inv_diag, degree=3,
+            smoothing_range=params.mg_data.smoother.smoothing_range,
+            max_eigenvalue=1.2 * ranges[i][0],
         )
-    t.lap("eig_estimation")
-    coarse = api._hybrid_coarse_solver("amg", levels[0], mg_data, jnp.float32)
-    t.lap("coarse_solver")
+        for i, lv in enumerate(levels[1:])
+    ]
+    coarse = api._hybrid_coarse_solver("amg", levels[0], params.mg_data, jnp.float32)
+    mark("coarse solver build")
 
     from dealii_multigrid_tpu.solvers.multigrid import Multigrid
+
     mg = Multigrid(
         operators=[lv.op for lv in levels], smoothers=smoothers,
         transfers=transfers, coarse_solve=coarse, n_cycles=1,
     )
     precond = PreconditionMG(mg, jnp.float32)
 
-    # RHS via the gather engine (current api.py path)
     fine_gop = make_operator(fine.dofh, fine.hanging, dtype=jnp.float32)
-    t.lap("fine_gather_op")
-    problem = poisson.make_problem(fine.dofh, fine.hanging, fine_gop, "Constant")
-    float(problem.rhs[0])
-    t.lap("rhs_gather")
-    rhs_slots = jnp.asarray(
-        fine.fmt.from_global(np.asarray(problem.rhs, np.float64)), jnp.float32
+    mark("gather-op metadata build")
+    problem, rhs_slots = poisson.assemble_problem_hybrid(
+        fine.dofh, fine.hanging, fine.op,
+        _hy.cell_slot_table(fine.fmt), fine.fmt, fine_gop, "Gaussian",
     )
-    t.lap("rhs_convert")
+    mark("RHS assembly (hybrid-native)")
 
-    result = api.mg_solve(
-        fine.op, rhs_slots, precond, mg_data, n_levels=len(levels),
-        dot=True, n_dofs=fine.dofh.n_dofs,
+    from dealii_multigrid_tpu.solvers.cg import cg_solve
+
+    ctrl = params.mg_data.cg_normal
+
+    @jax.jit
+    def solve(fop, pre, b):
+        return cg_solve(
+            fop.vmult, b, preconditioner=pre.vmult, maxiter=ctrl.maxiter,
+            abstol=ctrl.abstol, reltol=ctrl.reltol, dot=fop.dot,
+        )
+
+    rhs32 = rhs_slots.astype(jnp.float32)
+    lowered = solve.lower(fine.op, precond, rhs32)
+    mark("solve trace+lower")
+    compiled = lowered.compile()
+    mark("solve compile (cache load if warm)")
+    res = compiled(fine.op, precond, rhs32)
+    float(res.residual_norm)
+    mark("solve first execution")
+    ts = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        res = compiled(fine.op, precond, rhs32)
+        float(res.residual_norm)
+        ts.append(time.perf_counter() - t0)
+    mark("solve 5 reps")
+    import dataclasses as _dc
+
+    class R:
+        pass
+
+    result = R()
+    result.time = min(ts)
+    result.n_iterations = int(res.n_iterations)
+    result.throughput = fine.dofh.n_dofs * result.n_iterations / result.time
+    result.converged = bool(res.converged)
+    print(
+        f"\nsolve: {result.time*1e3:.1f} ms, {result.n_iterations} its, "
+        f"throughput {result.throughput/1e6:.1f} MDoF/s, "
+        f"converged={result.converged}"
     )
-    t.lap("warmup+solve")
-    print(f"iters={result.n_iterations} converged={result.converged} "
-          f"solve={result.time:.3f}s throughput={result.throughput/1e6:.1f} MDoF/s")
-    total = sum(t.acc.values())
-    for k, v in sorted(t.acc.items(), key=lambda kv: -kv[1]):
-        print(f"{k:18s} {v:8.2f} s  {100*v/total:5.1f}%")
-    print(f"{'TOTAL':18s} {total:8.2f} s")
 
 
 if __name__ == "__main__":

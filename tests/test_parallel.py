@@ -52,6 +52,96 @@ def test_metrics_ranges():
     assert stats["workload_path_max"] >= seq[-1].n_cells / 8
 
 
+def test_vertical_cost_exact_definition():
+    """vertical_communication_cost matches a brute-force required-children
+    count (reference definition, mg_tools.h:115-189)."""
+    m, seq, *_ = _hierarchy(r=3)
+    n_shards = 4
+    parts = [metrics.block_partition(mm.n_cells, n_shards) for mm in seq]
+    local, remote = metrics.vertical_communication_cost(seq, parts, n_shards)
+    for l in range(1, len(seq)):
+        coarse, fine = seq[l - 1], seq[l]
+        pc, pf = parts[l - 1], parts[l]
+        where = {
+            (int(fine.level[i]), tuple(fine.anchor[i])): i
+            for i in range(fine.n_cells)
+        }
+        bl = np.zeros(n_shards, np.int64)
+        br = np.zeros(n_shards, np.int64)
+        for c in range(coarse.n_cells):
+            if coarse.level[c] + 1 > fine.max_level:
+                continue
+            for dz in (0, 1):
+                for dy in (0, 1):
+                    for dx in (0, 1):
+                        key = (
+                            int(coarse.level[c]) + 1,
+                            tuple(coarse.anchor[c] * 2 + np.array([dz, dy, dx])),
+                        )
+                        j = where.get(key)
+                        if j is None:
+                            continue
+                        if pf[j] == pc[c]:
+                            bl[pc[c]] += 1
+                        else:
+                            br[pc[c]] += 1
+        assert np.array_equal(local[l], bl) and np.array_equal(remote[l], br)
+
+
+def test_horizontal_cost_exact_definition():
+    """horizontal_communication_cost matches a brute-force bounding-box
+    vertex-adjacency ghost count (mg_tools.h:191-233)."""
+    m = G.create_quadrant(3, 3)
+    n_shards = 4
+    part = metrics.block_partition(m.n_cells, n_shards)
+    local, remote = metrics.horizontal_communication_cost([m], [part], n_shards)
+    assert np.array_equal(local[0], np.bincount(part, minlength=n_shards))
+    # brute force: cells are vertex-adjacent iff closed boxes intersect
+    s = (m.max_level - m.level).astype(np.int64)
+    lo = m.anchor.astype(np.int64) << s[:, None]
+    hi = (m.anchor.astype(np.int64) + 1) << s[:, None]
+    ghost_pairs = set()
+    for i in range(m.n_cells):
+        touch = np.all((lo[i] <= hi) & (lo <= hi[i]), axis=1)
+        touch[i] = False
+        for j in np.nonzero(touch)[0]:
+            if part[i] != part[j]:
+                ghost_pairs.add((j, int(part[i])))  # j is ghost on part[i]
+    br = np.zeros(n_shards, np.int64)
+    for _, shard in ghost_pairs:
+        br[shard] += 1
+    assert np.array_equal(remote[0], br)
+
+
+def test_workload_path_node_invariants():
+    """node_size=1 reduces to the per-shard path; node_size=n_shards gives
+    the total-cells-per-level sum (mg_tools.h:296-314)."""
+    m, seq, *_ = _hierarchy(r=3)
+    parts = [metrics.block_partition(mm.n_cells, 8) for mm in seq]
+    p1 = metrics.workload_path_max_node(seq, parts, 8, node_size=1)
+    assert p1 == metrics.workload_path_max(seq, parts, 8)
+    pall = metrics.workload_path_max_node(seq, parts, 8, node_size=8)
+    assert pall == float(sum(mm.n_cells for mm in seq))
+    stats = metrics.print_multigrid_statistics(
+        seq, 8, 2, partitions=parts, stream=open("/dev/null", "w")
+    )
+    assert set(stats) >= {
+        "workload_eff", "workload_path_max", "workload_path_max_node",
+        "vertical_eff", "horizontal_eff", "mem_total",
+    }
+
+
+def test_native_unique_inverse_matches_numpy():
+    rng = np.random.default_rng(7)
+    keys = rng.integers(0, 50, size=2000).astype(np.int64) * 977 + 13
+    from dealii_multigrid_tpu.mesh.native import unique_inverse
+
+    first, inverse = unique_inverse(keys)
+    _, nfirst, ninverse = np.unique(keys, return_index=True, return_inverse=True)
+    assert np.array_equal(first, nfirst)
+    assert np.array_equal(inverse, ninverse)
+
+
 def test_sharded_cg_matches_single_device():
     """Same CG result on an 8-device mesh as on one device (domain
     decomposition over Morton cell blocks)."""
