@@ -56,12 +56,17 @@ class HybridTransfer:
     fine_constrained_keep: jax.Array
     fine_owner: jax.Array
     E1: jax.Array                  # [S_f, sub] 1D patch embedding
-    patch_buckets: tuple           # ((fidx, cidx), ...)
+    patch_buckets: tuple           # ((fidx, cidx, child_rows [NC_c]), ...)
     patch_offsets: tuple           # ((ox, oy, oz), ...) static
     id_bucket: tuple | None        # (fidx, cidx) whole-patch copy
     irr_patch: tuple | None        # (fidx, sub_slots [n, sub^3])
     irr_id: tuple | None           # (fidx, slots [n, S_f^3]) copy via slot table
     single_buckets: tuple          # ((sidx, src_slots [n, nloc_c], M), ...)
+    # singles whose coarse source cell is itself a coarse-format singleton:
+    # src/dst are whole ROWS of the two [NS, nloc] buckets, so both directions
+    # are block-row gathers/scatter-adds (~30 ns/row) instead of
+    # element-priced slot tables (~7 ns/elem, DESIGN.md)
+    single_fast: tuple             # ((sidx [n], crow [n], M), ...)
     # static
     S_f: int
     S_c: int
@@ -97,7 +102,9 @@ class HybridTransfer:
         out_p = jnp.zeros((self.NP_f, S_f, S_f, S_f), dtype) if self.NP_f else None
         if self.coarse_op.NP and self.NP_f:
             up_c = self.coarse_op._patches(uc)
-            for (fidx, cidx), (ox, oy, oz) in zip(self.patch_buckets, self.patch_offsets):
+            for (fidx, cidx, _ch), (ox, oy, oz) in zip(
+                self.patch_buckets, self.patch_offsets
+            ):
                 sv = up_c[cidx, ox : ox + sub, oy : oy + sub, oz : oz + sub]
                 out_p = out_p.at[fidx].set(self._interp_sub(sv))
             if self.id_bucket is not None:
@@ -116,6 +123,13 @@ class HybridTransfer:
             for sidx, src_slots, M in self.single_buckets:
                 v = jnp.matmul(uc[src_slots], M.T.astype(dtype), precision=HIGHEST)
                 out_s = out_s.at[sidx].set(v)
+            if self.single_fast:
+                us_c = self.coarse_op._singles(uc)
+                for sidx, crow, M in self.single_fast:
+                    v = jnp.matmul(
+                        us_c[crow], M.T.astype(dtype), precision=HIGHEST
+                    )
+                    out_s = out_s.at[sidx].set(v)
         out = pack_buckets(out_p, out_s, self.D_f)
         return out * self.fine_constrained_keep
 
@@ -130,9 +144,19 @@ class HybridTransfer:
         )
         if cop.NP and self.NP_f:
             acc_p = jnp.zeros((cop.NP, S_c, S_c, S_c), dtype)
-            for (fidx, cidx), (ox, oy, oz) in zip(self.patch_buckets, self.patch_offsets):
+            for (fidx, cidx, child_rows), (ox, oy, oz) in zip(
+                self.patch_buckets, self.patch_offsets
+            ):
                 v = self._interp_sub_t(rp[fidx])
-                acc_p = acc_p.at[cidx, ox : ox + sub, oy : oy + sub, oz : oz + sub].add(v)
+                # every coarse patch has at most ONE fine child per octant
+                # (verified at build time), so the octant-window update is a
+                # block-row GATHER + static-window add instead of an
+                # element-priced window scatter
+                vpad = jnp.concatenate(
+                    [v, jnp.zeros((1, sub, sub, sub), dtype)], axis=0
+                )
+                g = vpad[child_rows]
+                acc_p = acc_p.at[:, ox : ox + sub, oy : oy + sub, oz : oz + sub].add(g)
             if self.id_bucket is not None:
                 fidx, cidx = self.id_bucket
                 acc_p = acc_p.at[cidx].add(rp[fidx])
@@ -151,6 +175,12 @@ class HybridTransfer:
             for sidx, src_slots, M in self.single_buckets:
                 v = jnp.matmul(rs[sidx], M.astype(dtype), precision=HIGHEST)
                 acc = acc.at[src_slots.reshape(-1)].add(v.reshape(-1))
+            if self.single_fast:
+                acc_s = cop._singles(acc)
+                for sidx, crow, M in self.single_fast:
+                    v = jnp.matmul(rs[sidx], M.astype(dtype), precision=HIGHEST)
+                    acc_s = acc_s.at[crow].add(v)
+                acc = cop._with_singles(acc, acc_s)
         acc = cop.apply_ct_faces(acc)
         acc = cop.exchange(acc)
         return cop.apply_ct(acc)
@@ -161,6 +191,7 @@ jax.tree_util.register_dataclass(
     data_fields=[
         "coarse_op", "fine_constrained_keep", "fine_owner", "E1",
         "patch_buckets", "id_bucket", "irr_patch", "irr_id", "single_buckets",
+        "single_fast",
     ],
     meta_fields=["patch_offsets", "S_f", "S_c", "sub", "NP_f", "NS_f", "nloc_f", "n_slots_f", "n_slots_c", "D_f"],
 )
@@ -213,6 +244,28 @@ def make_hybrid_transfer(
     cslot = cell_slot_table(coarse_fmt)
     nloc_c = cd.n_loc
     loc_c = local_node_indices(3, p_c)
+
+    # coarse cell -> coarse singleton row (or -1): sources that are coarse
+    # singletons use whole-row block gathers instead of slot tables
+    srow_c = np.full(mc.n_cells, -1, np.int64)
+    real_c = np.nonzero(coarse_fmt.single_cells >= 0)[0]
+    srow_c[coarse_fmt.single_cells[real_c]] = real_c
+
+    single_buckets_out: list = []
+    single_fast_out: list = []
+
+    def add_single_bucket(sidx_arr, cells_arr, M):
+        """Route a singleton bucket through the fast (coarse-singleton-row)
+        or the slot-table path, splitting mixed buckets."""
+        fast = srow_c[cells_arr] >= 0
+        if fast.any():
+            single_fast_out.append(
+                (sidx_arr[fast], srow_c[cells_arr[fast]], M)
+            )
+        if (~fast).any():
+            single_buckets_out.append(
+                (sidx_arr[~fast], cslot[cells_arr[~fast]], M)
+            )
 
     # coarse patch lookup (level, block) -> idx (only same-K decompositions)
     cp_key = {}
@@ -268,8 +321,8 @@ def make_hybrid_transfer(
         M_single = _kron3(tensor.p_embedding_1d(p_c, p_f))
         # same mesh => same singleton cells in both formats (skip dummies)
         sidx = np.nonzero(fine_fmt.single_cells >= 0)[0].astype(np.int64)
-        src = cslot[fine_fmt.single_cells[sidx]]
-        single_buckets = [(sidx, src, M_single)] if len(sidx) else []
+        if len(sidx):
+            add_single_bucket(sidx, fine_fmt.single_cells[sidx], M_single)
     else:
         assert p_f == p_c
         p = p_f
@@ -323,7 +376,6 @@ def make_hybrid_transfer(
                     (np.asarray(fi, np.int64), np.asarray(ci, np.int64), off)
                 )
         # --- fine singles: identity cell or parent cell ---
-        single_buckets = []
         if fine_fmt.n_singles:
             real_sel = np.nonzero(fine_fmt.single_cells >= 0)[0]
             scells = fine_fmt.single_cells[real_sel]
@@ -335,12 +387,10 @@ def make_hybrid_transfer(
                 ident[s] = find_cell(l, anch[s])
             id_sel = ident >= 0
             if id_sel.any():
-                single_buckets.append(
-                    (
-                        real_sel[id_sel].astype(np.int64),
-                        cslot[ident[id_sel]],
-                        np.eye(fd.n_loc),
-                    )
+                add_single_bucket(
+                    real_sel[id_sel].astype(np.int64),
+                    ident[id_sel],
+                    np.eye(fd.n_loc),
                 )
             rest = np.nonzero(~id_sel)[0]
             if len(rest):
@@ -360,8 +410,8 @@ def make_hybrid_transfer(
                         M = np.kron(
                             np.kron(Eh[(o >> 2) & 1], Eh[(o >> 1) & 1]), Eh[o & 1]
                         )
-                        single_buckets.append(
-                            (real_sel[rest[s]].astype(np.int64), cslot[par[s]], M)
+                        add_single_bucket(
+                            real_sel[rest[s]].astype(np.int64), par[s], M
                         )
 
     id_bucket = None
@@ -383,13 +433,25 @@ def make_hybrid_transfer(
             to_device(np.stack(irr_slots_list), jnp.int32),
         )
 
+    def child_rows_of(f, c):
+        # one fine child per (coarse patch, octant): restrict's window update
+        # inverts the map into a block-row gather (see HybridTransfer.restrict)
+        assert len(np.unique(c)) == len(c), "duplicate coarse patch in octant"
+        rows = np.full(coarse_fmt.n_patches, len(f), np.int64)
+        rows[c] = np.arange(len(f))
+        return rows
+
     return HybridTransfer(
         coarse_op=coarse_op,
         fine_constrained_keep=fine_op.constrained_keep,
         fine_owner=fine_op.owner,
         E1=to_device(E1, dtype),
         patch_buckets=tuple(
-            (to_device(f, jnp.int32), to_device(c, jnp.int32))
+            (
+                to_device(f, jnp.int32),
+                to_device(c, jnp.int32),
+                to_device(child_rows_of(f, c), jnp.int32),
+            )
             for f, c, off in patch_buckets
         ),
         patch_offsets=tuple(tuple(int(x) for x in off) for f, c, off in patch_buckets),
@@ -398,7 +460,11 @@ def make_hybrid_transfer(
         irr_id=irr_id,
         single_buckets=tuple(
             (to_device(s, jnp.int32), to_device(src, jnp.int32), to_device(M, dtype))
-            for s, src, M in single_buckets
+            for s, src, M in single_buckets_out
+        ),
+        single_fast=tuple(
+            (to_device(s, jnp.int32), to_device(cr, jnp.int32), to_device(M, dtype))
+            for s, cr, M in single_fast_out
         ),
         S_f=fine_fmt.S,
         S_c=coarse_fmt.S,
