@@ -638,6 +638,14 @@ class HybridOperator:
     sf_single: tuple
     sf_E1: jax.Array               # [S, sub] 1D h-embedding (patch faces)
     sf_slave_keep: jax.Array       # f [n_slots]: 0 on structured-slave slots
+    # per-(d, side) patch row groups, concat order == the combined sf_patch
+    # tables: PATCH faces are whole axis planes of the lattice, so they are
+    # read/written via axis slice + block-row index (~4 ns/row) instead of
+    # the element-priced flat tables (~7 ns/elem); measured safe in
+    # scripts/microbench_faces.py (patterns A2/B2).  Singleton faces keep the
+    # flat tables — their lane-hostile [NS, p+1, ...] lattice makes sliced
+    # writebacks slower than element scatters (measured).
+    sf_patch_rows: tuple           # per level: tuple of fidx arrays
     # static
     use_ssweep: bool
     NP: int
@@ -648,6 +656,7 @@ class HybridOperator:
     n_dofs: int
     n_shards: int = 1
     sf_levels: tuple = ()          # fine levels with structured faces (meta)
+    sf_patch_rows_meta: tuple = () # per level: tuple of (d, side, count)
     sf_Eh: jax.Array | None = None  # [2, n1, n1] per-parity h-embedding
 
     @property
@@ -721,7 +730,8 @@ class HybridOperator:
                     vals_.append(plane.reshape(-1))
                 # duplicate indices (slots on two covered faces) receive equal
                 # values, so an unordered scatter-set is well-defined
-                x = x.at[jnp.concatenate(idxs)].set(jnp.concatenate(vals_))
+                if idxs:
+                    x = x.at[jnp.concatenate(idxs)].set(jnp.concatenate(vals_))
             x = x * self.dirichlet_keep
         return x
 
@@ -737,8 +747,19 @@ class HybridOperator:
         for i in range(len(self.sf_levels) - 1, -1, -1):
             idxs, vals_ = [], []
             if self.sf_patch[i] is not None:
-                face, src, mask = self.sf_patch[i]
-                plane = r[face] * mask.astype(r.dtype)
+                _face, src, mask = self.sf_patch[i]
+                # read whole patch-face planes via axis slice + block-row
+                # gather (microbench pattern A2); group concat order matches
+                # the combined mask/src tables
+                rp = self._patches(r)
+                plane = jnp.concatenate(
+                    [
+                        rp[_face_slicer(self.S, d, side)][fidx]
+                        for fidx, (d, side, _c) in zip(
+                            self.sf_patch_rows[i], self.sf_patch_rows_meta[i]
+                        )
+                    ]
+                ) * mask.astype(r.dtype)
                 tmp = jnp.einsum("nij,is->nsj", plane, E1, precision=HIGHEST)
                 contrib = jnp.einsum("nsj,jt->nst", tmp, E1, precision=HIGHEST)
                 idxs.append(src.reshape(-1))
@@ -846,9 +867,10 @@ jax.tree_util.register_dataclass(
         "slave_master_slots", "slave_w",
         "slave_all_slots", "slave_all_src", "slave_rep",
         "ct_target", "ct_src", "ct_w", "refresh_slots", "refresh_src", "owner",
-        "sf_patch", "sf_single", "sf_E1", "sf_slave_keep", "sf_Eh",
+        "sf_patch", "sf_single", "sf_patch_rows", "sf_E1", "sf_slave_keep",
+        "sf_Eh",
     ],
-    meta_fields=["sf_levels", "use_ssweep", "NP", "NS", "S", "nloc", "n_slots", "n_dofs", "n_shards"],
+    meta_fields=["sf_levels", "sf_patch_rows_meta", "use_ssweep", "NP", "NS", "S", "nloc", "n_slots", "n_dofs", "n_shards"],
 )
 
 
@@ -925,8 +947,10 @@ def make_hybrid_operator(
     # batch all structured faces of one fine level into single tables
     sf_levels = sorted({b[0] for b in sf_raw} | {b[0] for b in ssf_raw})
     sf_patch, sf_single = [], []
+    sf_patch_rows, sf_patch_rows_meta = [], []
     for lev in sf_levels:
         faces, srcs, masks = [], [], []
+        rows, rows_meta = [], []
         for l, d, side, fidx, src_slots in sf_raw:
             if l != lev:
                 continue
@@ -934,6 +958,8 @@ def make_hybrid_operator(
             faces.append(fs)
             srcs.append(src_slots)
             masks.append(ct_mask(fs))
+            rows.append(to_device(fidx, jnp.int32))
+            rows_meta.append((d, side, len(fidx)))
         sf_patch.append(
             (
                 to_device(np.concatenate(faces), jnp.int32),
@@ -943,6 +969,8 @@ def make_hybrid_operator(
             if faces
             else None
         )
+        sf_patch_rows.append(tuple(rows))
+        sf_patch_rows_meta.append(tuple(rows_meta))
         faces, srcs, masks, pas, pbs = [], [], [], [], []
         for l, d, side, pa, pb, sidx, src_slots in ssf_raw:
             if l != lev:
@@ -1076,6 +1104,8 @@ def make_hybrid_operator(
         use_ssweep=fmt.use_singleton_sweeps,
         sf_patch=tuple(sf_patch),
         sf_single=tuple(sf_single),
+        sf_patch_rows=tuple(sf_patch_rows),
+        sf_patch_rows_meta=tuple(sf_patch_rows_meta),
         sf_levels=tuple(int(l) for l in sf_levels),
         sf_E1=to_device(E1, dtype),
         sf_slave_keep=to_device(sf_slave_keep, dtype),
