@@ -616,7 +616,12 @@ jax.tree_util.register_dataclass(
 
 
 def solve_with_local_smoothing(params: RunParameters, fine_mesh: AdaptiveMesh):
-    """HMG-local / HPMG-local solve on the active mesh."""
+    """HMG-local / HPMG-local solve on the active mesh.
+
+    3D runs on the hybrid patch engine (level meshes are uniform-level and
+    patch-friendly); 2D uses the gather engine."""
+    if params.dim == 3:
+        return solve_with_local_smoothing_hybrid(params, fine_mesh)
     outer_dtype = number_dtype(params.number_type)
     level_dtype = number_dtype(params.mg_number_type)
     p = params.fe_degree_fine
@@ -680,4 +685,92 @@ def solve_with_local_smoothing(params: RunParameters, fine_mesh: AdaptiveMesh):
     # variant, multigrid_throughput.cc:1152-1234)
     result.mg = precond
     result.rhs_used = problem.rhs
+    return result, problem, [fine]
+
+
+def solve_with_local_smoothing_hybrid(
+    params: RunParameters, fine_mesh: AdaptiveMesh
+):
+    """HMG-local / HPMG-local on the hybrid patch engine (TPU fast path).
+
+    Level meshes are uniform-level (conforming, hanging-free), so every LS
+    level is a near-pure patch lattice; the outer CG, the p-levels
+    (HPMG-local) and the LS V-cycle all run in hybrid slot layouts
+    (reference: solve_with_local_smoothing, multigrid_throughput.cc:1670-1873)."""
+    import dataclasses as _dc
+
+    from .solvers.local_smoothing import build_local_smoothing_mg_hybrid
+
+    outer_dtype = number_dtype(params.number_type)
+    level_dtype = number_dtype(params.mg_number_type)
+    p = params.fe_degree_fine
+
+    fine = build_level_hybrid(fine_mesh, p, level_dtype)
+    if params.number_type == "mixed":
+        outer_op = MixedPrecisionOperator(
+            fine.op
+            if level_dtype == jnp.float32
+            else _hy.make_hybrid_operator(fine.fmt, fine.hanging, dtype=jnp.float32)
+        )
+    elif outer_dtype == level_dtype:
+        outer_op = fine.op
+    else:
+        outer_op = _hy.make_hybrid_operator(fine.fmt, fine.hanging, dtype=outer_dtype)
+
+    # RHS assembled hybrid-native (no gather-engine compile)
+    fine_gop = make_operator(fine.dofh, fine.hanging, dtype=outer_dtype)
+    if params.number_type == "mixed":
+        rhs_op = _hy.make_hybrid_operator(fine.fmt, fine.hanging, dtype=jnp.float64)
+    else:
+        rhs_op = getattr(outer_op, "op", outer_op)
+    problem, rhs_slots = poisson.assemble_problem_hybrid(
+        fine.dofh,
+        fine.hanging,
+        rhs_op,
+        _hy.cell_slot_table(fine.fmt),
+        fine.fmt,
+        fine_gop,
+        params.simulation_type,
+    )
+    rhs_slots = rhs_slots.astype(outer_dtype)
+
+    if params.type == "HMG-local":
+        lsmg = build_local_smoothing_mg_hybrid(
+            fine.dofh, fine.fmt, params.mg_data,
+            dtype=level_dtype, min_level=max(params.min_level, 0),
+        )
+        precond = PreconditionLS(lsmg, fine.op.constrained_keep, outer_dtype)
+        n_levels = len(lsmg.levels)
+    elif params.type == "HPMG-local":
+        degrees = polynomial_coarsening_sequence(p, "bisect")
+        plevels = [
+            fine if d == p else build_level_hybrid(fine_mesh, d, level_dtype)
+            for d in degrees
+        ]
+        lsmg = build_local_smoothing_mg_hybrid(
+            plevels[0].dofh, plevels[0].fmt, params.mg_data,
+            dtype=level_dtype, min_level=max(params.min_level, 0),
+        )
+        ls_precond = PreconditionLS(
+            lsmg, plevels[0].op.constrained_keep, level_dtype
+        )
+        mg = build_gc_preconditioner_hybrid(plevels, params.mg_data, level_dtype)
+        mg = _dc.replace(mg, coarse_solve=ls_precond)
+        precond = PreconditionMG(mg, outer_dtype)
+        n_levels = len(degrees) + len(lsmg.levels) - 1
+    else:
+        raise ValueError(params.type)
+
+    result = mg_solve(
+        outer_op,
+        rhs_slots,
+        precond,
+        params.mg_data,
+        n_levels=n_levels,
+        dot=True,
+        n_dofs=fine.dofh.n_dofs,
+    )
+    result.mg = precond
+    result.rhs_used = rhs_slots
+    result.x = fine.to_global(result.x)
     return result, problem, [fine]

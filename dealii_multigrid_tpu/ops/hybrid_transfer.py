@@ -77,6 +77,12 @@ class HybridTransfer:
     n_slots_f: int
     n_slots_c: int
     D_f: int = 1  # fine level's n_shards (device-major layout)
+    # local-smoothing mode (MGTransferMatrixFree semantics,
+    # multigrid_throughput.cc:1800-1802): level meshes are conforming and
+    # level vectors are unconstrained, so no constraint application and no
+    # constrained-row masking — only the ownership mask and the coarse
+    # exchange (the restrict_and_add assembly)
+    ls_mode: bool = False
 
     @property
     def fine_patch_slots(self) -> int:
@@ -96,7 +102,8 @@ class HybridTransfer:
         return _axis_apply(r, ET, 3)
 
     def prolong(self, uc: jax.Array) -> jax.Array:
-        uc = self.coarse_op.apply_c(uc)
+        if not self.ls_mode:
+            uc = self.coarse_op.apply_c(uc)
         dtype = uc.dtype
         S_c, S_f, sub = self.S_c, self.S_f, self.sub
         out_p = jnp.zeros((self.NP_f, S_f, S_f, S_f), dtype) if self.NP_f else None
@@ -131,11 +138,16 @@ class HybridTransfer:
                     )
                     out_s = out_s.at[sidx].set(v)
         out = pack_buckets(out_p, out_s, self.D_f)
+        if self.ls_mode:
+            return out
         return out * self.fine_constrained_keep
 
     def restrict(self, rf: jax.Array) -> jax.Array:
         dtype = rf.dtype
-        rf = rf * self.fine_constrained_keep * self.fine_owner
+        if self.ls_mode:
+            rf = rf * self.fine_owner
+        else:
+            rf = rf * self.fine_constrained_keep * self.fine_owner
         S_c, S_f, sub = self.S_c, self.S_f, self.sub
         cop = self.coarse_op
         acc = jnp.zeros(self.n_slots_c, dtype)
@@ -181,6 +193,8 @@ class HybridTransfer:
                     v = jnp.matmul(rs[sidx], M.astype(dtype), precision=HIGHEST)
                     acc_s = acc_s.at[crow].add(v)
                 acc = cop._with_singles(acc, acc_s)
+        if self.ls_mode:
+            return cop.exchange(acc)
         acc = cop.apply_ct_faces(acc)
         acc = cop.exchange(acc)
         return cop.apply_ct(acc)
@@ -193,7 +207,7 @@ jax.tree_util.register_dataclass(
         "patch_buckets", "id_bucket", "irr_patch", "irr_id", "single_buckets",
         "single_fast",
     ],
-    meta_fields=["patch_offsets", "S_f", "S_c", "sub", "NP_f", "NS_f", "nloc_f", "n_slots_f", "n_slots_c", "D_f"],
+    meta_fields=["patch_offsets", "S_f", "S_c", "sub", "NP_f", "NS_f", "nloc_f", "n_slots_f", "n_slots_c", "D_f", "ls_mode"],
 )
 
 
@@ -231,6 +245,7 @@ def make_hybrid_transfer(
     fine_op: HybridOperator,
     coarse_op: HybridOperator,
     dtype=jnp.float32,
+    ls_mode: bool = False,
 ) -> HybridTransfer:
     fd, cd = fine_fmt.dofh, coarse_fmt.dofh
     mf, mc = fd.mesh, cd.mesh
@@ -475,6 +490,7 @@ def make_hybrid_transfer(
         n_slots_f=fine_fmt.n_slots,
         n_slots_c=coarse_fmt.n_slots,
         D_f=fine_fmt.n_shards,
+        ls_mode=ls_mode,
     )
 
 

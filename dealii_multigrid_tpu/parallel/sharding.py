@@ -251,9 +251,10 @@ def build_sharded_hybrid_levels(
 
 def dryrun_sharded_solve(
     n_devices: int,
-    n_ref: int = 3,
-    degree: int = 2,
+    n_ref: int = 5,
+    degree: int = 3,
     reltol: float = 1e-10,
+    debug: bool = False,
 ) -> float:
     """Full HMG-global V-cycle-preconditioned CG on the PRODUCTION (hybrid
     patch-structured) engine, domain-decomposed over an n_devices mesh and
@@ -275,6 +276,10 @@ def dryrun_sharded_solve(
     import jax
 
     jax.config.update("jax_enable_x64", True)
+    if debug:
+        # shard-debug mode (SURVEY §5: sanitizer analog): trap NaNs inside
+        # every jitted computation; restored on exit (see finally below)
+        jax.config.update("jax_debug_nans", True)
     import jax.numpy as jnp
 
     from .. import api
@@ -304,6 +309,19 @@ def dryrun_sharded_solve(
                 plan, dtype, dmesh, n_devices, policy_name
             )
         fine = levels[-1]
+        # the default config must exercise the machinery that dominates
+        # production runs: singleton sweeps + structured singleton faces
+        if n_ref >= 5:
+            assert fine.fmt.use_singleton_sweeps, "singleton sweeps inactive"
+            assert any(
+                g is not None for g in fine.op.sf_single
+            ), "no structured singleton faces at the dryrun scale"
+        if debug:
+            # ownership-mask consistency: every real DoF owned exactly once
+            for lv in levels:
+                owned = np.asarray(lv.fmt.slot_dof)[np.asarray(lv.fmt.owner) > 0]
+                counts = np.bincount(owned, minlength=lv.dofh.n_dofs + 1)
+                assert (counts[: lv.dofh.n_dofs] == 1).all(), "owner mask broken"
         gop = make_operator(fine.dofh, fine.hanging, dtype=dtype)
         problem = poisson.make_problem(fine.dofh, fine.hanging, gop, "Gaussian")
         rhs = to_device(
@@ -329,18 +347,22 @@ def dryrun_sharded_solve(
         x_global = np.asarray(fine.to_global(res.x))
         return x_global, int(res.n_iterations)
 
-    x_ref, it_ref = build_and_solve(None)
-    dmesh = make_device_mesh(n_devices)
-    rel_max = 0.0
-    # Morton-block default AND a weighted repartitioning policy: the same
-    # code must run at any partition (the reference's tria.repartition()
-    # property, multigrid_throughput.cc:2145-2170)
-    for policy in ("", "CellWeightPolicy-2.0"):
-        x_sh, it_sh = build_and_solve(dmesh, policy)
-        rel = float(
-            np.linalg.norm(x_sh - x_ref) / max(np.linalg.norm(x_ref), 1e-300)
-        )
-        assert rel < 1e-8, f"sharded solve ({policy!r}) diverged: {rel:e}"
-        assert abs(it_sh - it_ref) <= 1, (policy, it_sh, it_ref)
-        rel_max = max(rel_max, rel)
-    return rel_max
+    try:
+        x_ref, it_ref = build_and_solve(None)
+        dmesh = make_device_mesh(n_devices)
+        rel_max = 0.0
+        # Morton-block default AND a weighted repartitioning policy: the same
+        # code must run at any partition (the reference's tria.repartition()
+        # property, multigrid_throughput.cc:2145-2170)
+        for policy in ("", "CellWeightPolicy-2.0"):
+            x_sh, it_sh = build_and_solve(dmesh, policy)
+            rel = float(
+                np.linalg.norm(x_sh - x_ref) / max(np.linalg.norm(x_ref), 1e-300)
+            )
+            assert rel < 1e-8, f"sharded solve ({policy!r}) diverged: {rel:e}"
+            assert abs(it_sh - it_ref) <= 1, (policy, it_sh, it_ref)
+            rel_max = max(rel_max, rel)
+        return rel_max
+    finally:
+        if debug:
+            jax.config.update("jax_debug_nans", False)

@@ -245,6 +245,275 @@ def _octant_matrix(dim: int, degree: int, octant: int) -> np.ndarray:
     return out
 
 
+# ---------------------------------------------------------------------------
+# hybrid (patch-structured) local smoothing — the TPU fast path
+# ---------------------------------------------------------------------------
+#
+# Level meshes are UNIFORM-level meshes: away from the region boundary they
+# are pure K^3 patch lattices with no hanging constraints, so the hybrid
+# engine (ops/hybrid.py) applies directly — the level operator is the hybrid
+# operator built with Dirichlet = domain boundary ∪ refinement edge (the
+# identity-row set of reference operator.h:152-183), and the refinement-edge
+# interface operators (operator.h:191-226) are raw-apply + exchange + masks.
+
+
+@dataclass
+class LSHybridLevel:
+    """One local-smoothing level on the hybrid patch engine."""
+
+    op: object                 # HybridOperator (identity on boundary ∪ edge)
+    edge_ind: jax.Array        # f [n_slots] 1 on refinement-edge slots
+    inv_diag: jax.Array        # slot layout
+    eig_b0: jax.Array          # deterministic eig-estimation seed vector
+    # copy_to_mg: level slots <- active-format rep slots
+    to_slots: jax.Array        # i32 [W]
+    to_src: jax.Array          # i32 [W]
+    # copy_from_mg: active-format slots <- level rep slots
+    from_slots: jax.Array      # i32 [V]
+    from_src: jax.Array        # i32 [V]
+    n_dofs: int                # n_slots of the level layout
+
+    @property
+    def keep(self) -> jax.Array:
+        return self.op.dirichlet_keep
+
+    def vmult(self, u: jax.Array) -> jax.Array:
+        return self.op.vmult(u)
+
+    def dot(self, x, y):
+        return self.op.dot(x, y)
+
+    # Γ-rows of the raw operator applied to an interior-supported function
+    # (operator.h:191-205); the exchange assembles the raw per-slot sums
+    def interface_down(self, u: jax.Array) -> jax.Array:
+        r = self.op.exchange(self.op.cell_apply_raw(u * self.op.dirichlet_keep))
+        return r * self.edge_ind
+
+    # interior rows of the raw operator applied to the Γ part (operator.h:207-226)
+    def interface_up(self, u: jax.Array) -> jax.Array:
+        r = self.op.exchange(self.op.cell_apply_raw(u * self.edge_ind))
+        return r * self.op.dirichlet_keep
+
+
+jax.tree_util.register_dataclass(
+    LSHybridLevel,
+    data_fields=[
+        "op", "edge_ind", "inv_diag", "eig_b0",
+        "to_slots", "to_src", "from_slots", "from_src",
+    ],
+    meta_fields=["n_dofs"],
+)
+
+
+@dataclass
+class LocalSmoothingMGHybrid:
+    """The local-smoothing V-cycle on hybrid slot vectors: input/output is
+    the ACTIVE mesh's hybrid slot layout (api.build_level_hybrid)."""
+
+    levels: tuple              # LSHybridLevel, coarsest first
+    smoothers: tuple
+    transfers: tuple           # HybridTransfer (ls_mode), transfers[l]: l-1 -> l
+    coarse_solve: object
+    n_dofs_global: int         # n_slots of the active layout
+
+    def vmult(self, r_active: jax.Array) -> jax.Array:
+        L = len(self.levels) - 1
+        defect = []
+        for lev in self.levels:
+            d = jnp.zeros(lev.n_dofs, r_active.dtype)
+            d = d.at[lev.to_slots].set(r_active[lev.to_src])
+            defect.append(d * lev.keep)
+        sols = [None] * (L + 1)
+
+        def v_step(l, d_l):
+            lev = self.levels[l]
+            if l == 0:
+                u = self.coarse_solve(d_l)
+                sols[0] = u
+                return u
+            sm = self.smoothers[l]
+            d_smooth = d_l * lev.keep
+            u = sm.vmult(d_smooth)
+            t = d_smooth - lev.vmult(u)
+            t = t * lev.keep + (d_l - lev.interface_down(u)) * lev.edge_ind
+            d_c = defect[l - 1] + self.transfers[l].restrict(t)
+            u_c = v_step(l - 1, d_c)
+            u = u + self.transfers[l].prolong(u_c)
+            b_eff = (d_smooth - lev.interface_up(u)) * lev.keep + u * (
+                1.0 - lev.keep
+            )
+            u = sm.step(u, b_eff)
+            sols[l] = u
+            return u
+
+        v_step(L, defect[L])
+        # copy_from_mg: coarse-to-fine overwrite (finest level wins); the
+        # from-tables cover ALL active slots of each copied dof, so the
+        # result is slot-consistent by construction
+        out = jnp.zeros(self.n_dofs_global, r_active.dtype)
+        for lev, u in zip(self.levels, sols):
+            out = out.at[lev.from_slots].set(u[lev.from_src])
+        return out
+
+
+jax.tree_util.register_dataclass(
+    LocalSmoothingMGHybrid,
+    data_fields=["levels", "smoothers", "transfers", "coarse_solve"],
+    meta_fields=["n_dofs_global"],
+)
+
+
+def build_local_smoothing_mg_hybrid(
+    active_dofh: DoFHandler,
+    active_fmt,
+    mg_data,
+    dtype=jnp.float32,
+    min_level: int = 0,
+) -> LocalSmoothingMGHybrid:
+    """Hybrid-engine LS hierarchy; ``active_fmt`` is the ACTIVE mesh's
+    HybridFormat whose slot layout the preconditioner operates on."""
+    from ..mesh.dof import Constraints
+    from ..ops.hybrid import build_hybrid_format, make_hybrid_operator, slots_of
+    from ..ops.hybrid_transfer import make_hybrid_transfer
+    from .chebyshev import estimate_eigenvalue_ranges
+    from .coarse import make_algebraic_solver
+
+    active = active_dofh.mesh
+    p = active_dofh.degree
+    dim = active.dim
+    assert dim == 3, "hybrid LS is 3D (2D uses the gather engine)"
+    L = active.max_level
+    lmin = max(min_level, 0)
+    elem = element.laplace_element_matrix(dim, p)
+
+    levels = []
+    host_fmts, host_dofhs = [], []
+    rng = np.random.default_rng(42)
+    for l in range(lmin, L + 1):
+        lm = level_mesh(active, l)
+        dofh = distribute_dofs(lm, p)
+        valence = np.bincount(dofh.cell_dofs.reshape(-1), minlength=dofh.n_dofs)
+        expected = _expected_valence(dofh)
+        edge = (valence < expected) & ~dofh.boundary_mask
+        # identity rows of the level operator = boundary ∪ edge
+        # (operator.h:152-183); fold the edge set into the Dirichlet mask
+        dofh.boundary_mask = dofh.boundary_mask | edge
+        fmt = build_hybrid_format(dofh, K=8)
+        empty = Constraints(
+            dofh.n_dofs, np.zeros(0, np.int32), np.zeros((0, 1), np.int32),
+            np.zeros((0, 1)),
+        )
+        op = make_hybrid_operator(fmt, empty, dtype=dtype)
+        scale = lm.h(lm.level).astype(np.float64) ** (dim - 2)
+        diag = np.zeros(dofh.n_dofs)
+        np.add.at(
+            diag,
+            dofh.cell_dofs.reshape(-1),
+            (scale[:, None] * np.diag(elem)[None, :]).reshape(-1),
+        )
+        diag[dofh.boundary_mask] = 1.0
+        edge_f = np.zeros(dofh.n_dofs)
+        edge_f[edge] = 1.0
+
+        # copy maps: active cells at level l <-> level-mesh cells; the tables
+        # list ALL slots of each copied dof (slots_of), so both directions
+        # write slot-consistent vectors
+        sel = np.nonzero(active.level == l)[0]
+        if len(sel):
+            codes = morton_encode(lm.anchor)
+            order = np.argsort(codes)
+            pos = order[np.searchsorted(codes[order], morton_encode(active.anchor[sel]))]
+            ld = dofh.cell_dofs[pos].reshape(-1).astype(np.int64)
+            gd = active_dofh.cell_dofs[sel].reshape(-1).astype(np.int64)
+            uniq_ld, first = np.unique(ld, return_index=True)
+            uniq_gd = gd[first]
+            _, to_flat, to_grp = slots_of(fmt, uniq_ld)
+            to_src = active_fmt.rep_slot[uniq_gd][to_grp]
+            _, fr_flat, fr_grp = slots_of(active_fmt, uniq_gd)
+            fr_src = fmt.rep_slot[uniq_ld][fr_grp]
+        else:
+            to_flat = to_src = fr_flat = fr_src = np.zeros(0, np.int64)
+
+        levels.append(
+            LSHybridLevel(
+                op=op,
+                edge_ind=to_device(fmt.from_global(edge_f), dtype),
+                inv_diag=to_device(fmt.from_global(1.0 / diag), dtype),
+                eig_b0=to_device(
+                    fmt.from_global(rng.standard_normal(dofh.n_dofs)), dtype
+                ),
+                to_slots=to_device(to_flat, jnp.int32),
+                to_src=to_device(to_src, jnp.int32),
+                from_slots=to_device(fr_flat, jnp.int32),
+                from_src=to_device(fr_src, jnp.int32),
+                n_dofs=fmt.n_slots,
+            )
+        )
+        host_fmts.append(fmt)
+        host_dofhs.append(dofh)
+
+    transfers = [None]
+    for i in range(1, len(levels)):
+        transfers.append(
+            make_hybrid_transfer(
+                host_fmts[i], host_fmts[i - 1],
+                levels[i].op, levels[i - 1].op,
+                dtype=dtype, ls_mode=True,
+            )
+        )
+
+    # batched eigenvalue estimation (one compile for all levels)
+    ranges = estimate_eigenvalue_ranges(
+        [lv.op for lv in levels[1:]],
+        [lv.inv_diag for lv in levels[1:]],
+        [lv.eig_b0 for lv in levels[1:]],
+        n_iterations=(
+            mg_data.smoother.eig_cg_n_iterations if mg_data else 20
+        ),
+        use_op_dot=True,
+    )
+    smoothers = [None]
+    for lv, rg in zip(levels[1:], ranges):
+        smoothers.append(
+            ChebyshevSmoother(
+                lv.op,
+                lv.inv_diag,
+                mg_data.smoother.degree if mg_data else 3,
+                *_cheb_interval(
+                    1.2 * rg[0],
+                    mg_data.smoother.smoothing_range if mg_data else 20.0,
+                ),
+            )
+        )
+
+    coarse = make_algebraic_solver(
+        host_dofhs[0],
+        Constraints(
+            host_dofhs[0].n_dofs, np.zeros(0, np.int32),
+            np.zeros((0, 1), np.int32), np.zeros((0, 1)),
+        ),
+        dtype,
+        mg_data,
+        to_idx=to_device(host_fmts[0].rep_slot, jnp.int32),
+        from_idx=to_device(host_fmts[0].slot_dof, jnp.int32),
+    )
+
+    return LocalSmoothingMGHybrid(
+        levels=tuple(levels),
+        smoothers=tuple(smoothers),
+        transfers=tuple(transfers),
+        coarse_solve=coarse,
+        n_dofs_global=active_fmt.n_slots,
+    )
+
+
+def _cheb_interval(max_eigenvalue: float, smoothing_range: float):
+    min_eigenvalue = max_eigenvalue / smoothing_range
+    theta = 0.5 * (max_eigenvalue + min_eigenvalue)
+    delta = 0.5 * (max_eigenvalue - min_eigenvalue)
+    return float(theta), float(delta)
+
+
 def build_local_smoothing_mg(
     active_dofh: DoFHandler,
     mg_data,

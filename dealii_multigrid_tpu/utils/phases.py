@@ -158,18 +158,32 @@ def profile_ls_cycle(lsmg, b, n_loop: int = 8) -> dict:
     )
     out["cs"] = _loop_time(lambda m, v: [m.coarse_solve(v[0])], lsmg, [d[0]], n_loop)
 
-    # copy_to_mg / copy_from_mg boundaries (reference mg_precon_timers)
+    # copy_to_mg / copy_from_mg boundaries (reference mg_precon_timers);
+    # the hybrid LS carries its copy tables on the levels themselves
+    hybrid = not hasattr(lsmg, "copy_maps")
+
     def to_mg(m, v):
         outs = []
-        for lev, cm in zip(m.levels, m.copy_maps):
-            dd = jnp.zeros(lev.n_dofs, v[0].dtype)
-            outs.append(dd.at[cm.level_idx].set(v[0][cm.global_idx]) * lev.keep)
+        if hybrid:
+            for lev in m.levels:
+                dd = jnp.zeros(lev.n_dofs, v[0].dtype)
+                outs.append(dd.at[lev.to_slots].set(v[0][lev.to_src]) * lev.keep)
+        else:
+            for lev, cm in zip(m.levels, m.copy_maps):
+                dd = jnp.zeros(lev.n_dofs, v[0].dtype)
+                outs.append(
+                    dd.at[cm.level_idx].set(v[0][cm.global_idx]) * lev.keep
+                )
         return outs
 
     def to_global(m, v):
         o = jnp.zeros(m.n_dofs_global, v[0].dtype)
-        for lev, cm, u in zip(m.levels, m.copy_maps, v[1:]):
-            o = o.at[cm.global_idx].set(u[cm.level_idx])
+        if hybrid:
+            for lev, u in zip(m.levels, v[1:]):
+                o = o.at[lev.from_slots].set(u[lev.from_src])
+        else:
+            for lev, cm, u in zip(m.levels, m.copy_maps, v[1:]):
+                o = o.at[cm.global_idx].set(u[cm.level_idx])
         return [o]
 
     out["to_mg"] = _loop_time(to_mg, lsmg, [b], n_loop)

@@ -86,6 +86,46 @@ def test_amg_path():
     assert res.converged
 
 
+def test_hybrid_ls_vcycle_matches_gather_engine():
+    """The hybrid-engine LS V-cycle (solvers/local_smoothing.py,
+    LocalSmoothingMGHybrid) is the SAME linear operator as the validated
+    gather-engine LS V-cycle, once the Chebyshev intervals are equalised."""
+    import dataclasses as dc
+
+    from dealii_multigrid_tpu.mesh import generators as G
+    from dealii_multigrid_tpu.mesh.dof import distribute_dofs
+    from dealii_multigrid_tpu.ops.hybrid import build_hybrid_format
+    from dealii_multigrid_tpu.solvers.local_smoothing import (
+        build_local_smoothing_mg,
+        build_local_smoothing_mg_hybrid,
+    )
+    from dealii_multigrid_tpu.utils.params import MultigridParameters
+
+    mesh = G.create_quadrant(3, 3)
+    dofh = distribute_dofs(mesh, 2)
+    mg_data = MultigridParameters()
+    mg_data.smoother.degree = 3
+    lsg = build_local_smoothing_mg(dofh, mg_data, dtype=jnp.float64)
+    fmt = build_hybrid_format(dofh, K=8)
+    lsh = build_local_smoothing_mg_hybrid(dofh, fmt, mg_data, dtype=jnp.float64)
+    # equalise the (estimation-seed-dependent) Chebyshev intervals
+    lsh.smoothers = tuple(
+        [None]
+        + [
+            dc.replace(sh, theta=sg.theta, delta=sg.delta)
+            for sh, sg in zip(lsh.smoothers[1:], lsg.smoothers[1:])
+        ]
+    )
+    rng = np.random.default_rng(3)
+    r = rng.standard_normal(dofh.n_dofs)
+    out_g = np.asarray(lsg.vmult(jnp.asarray(r)))
+    out_h_slots = np.asarray(lsh.vmult(jnp.asarray(fmt.from_global(r))))
+    out_h = out_h_slots[fmt.rep_slot]
+    # slot consistency of the hybrid output
+    assert np.allclose(out_h_slots, fmt.from_global(out_h), atol=1e-12)
+    assert np.allclose(out_g, out_h, rtol=1e-10, atol=1e-11)
+
+
 @pytest.mark.parametrize("typ", ["HMG-local", "HPMG-local"])
 def test_local_smoothing_variants(typ):
     counts = []
