@@ -201,32 +201,62 @@ def mg_solve(
     warmup: bool = True,
     dot=None,  # truthy => use fine_op.dot (ownership-masked)
     n_dofs: int | None = None,
+    host_loop: bool = False,
 ) -> MGSolveResult:
     """Warm-up solve + best-of-n_repetitions timed CG, the reference's
-    benchmark protocol (multigrid_throughput.cc:1140-1268)."""
+    benchmark protocol (multigrid_throughput.cc:1140-1268).
+
+    ``host_loop`` runs the CG iteration as a host loop over ONE jitted
+    step per iteration instead of a single lax.while_loop program.  This
+    works around an XLA-TPU miscompilation observed on the axon backend:
+    at quadrant r=6/p=4 the local-smoothing V-cycle inside a while_loop
+    (or any multi-iteration program) produces inconsistent (x, r) state —
+    the loop's residual and ||b - A x|| diverge — while every M/A
+    composition is bit-exact when compiled one application per program
+    (measured; CPU agrees with the single-application results everywhere).
+    The cost is one dispatch per CG iteration."""
     ctrl = (
         mg_data.cg_parameter_study if mg_data.do_parameter_study else mg_data.cg_normal
     )
     use_op_dot = dot is not None
 
-    # operators/preconditioner are jit ARGUMENTS (pytrees): their index
-    # tables stay runtime parameters, keeping the HLO small (see DESIGN.md).
-    @jax.jit
-    def solve(fop, precond, b):
-        return cg_solve(
-            fop.vmult,
-            b,
-            preconditioner=precond.vmult,
-            maxiter=ctrl.maxiter,
-            abstol=ctrl.abstol,
-            reltol=ctrl.reltol,
-            force_iterations=(
-                mg_data.cg_parameter_study.maxiter
-                if mg_data.do_parameter_study
-                else None
-            ),
-            dot=fop.dot if use_op_dot else None,
-        )
+    if host_loop:
+        from .solvers.cg import cg_solve_host
+
+        def solve(fop, precond, b):
+            return cg_solve_host(
+                fop,
+                b,
+                preconditioner=precond,
+                maxiter=ctrl.maxiter,
+                abstol=ctrl.abstol,
+                reltol=ctrl.reltol,
+                force_iterations=(
+                    mg_data.cg_parameter_study.maxiter
+                    if mg_data.do_parameter_study
+                    else None
+                ),
+                use_op_dot=use_op_dot,
+            )
+    else:
+        # operators/preconditioner are jit ARGUMENTS (pytrees): their index
+        # tables stay runtime parameters, keeping the HLO small (DESIGN.md).
+        @jax.jit
+        def solve(fop, precond, b):
+            return cg_solve(
+                fop.vmult,
+                b,
+                preconditioner=precond.vmult,
+                maxiter=ctrl.maxiter,
+                abstol=ctrl.abstol,
+                reltol=ctrl.reltol,
+                force_iterations=(
+                    mg_data.cg_parameter_study.maxiter
+                    if mg_data.do_parameter_study
+                    else None
+                ),
+                dot=fop.dot if use_op_dot else None,
+            )
 
     def fence(r):
         # the axon TPU plugin's block_until_ready is unreliable; a host
@@ -769,6 +799,10 @@ def solve_with_local_smoothing_hybrid(
         n_levels=n_levels,
         dot=True,
         n_dofs=fine.dofh.n_dofs,
+        # one jitted PCG step per iteration on accelerator backends: the
+        # monolithic while_loop program miscompiles the LS V-cycle on the
+        # axon TPU backend at production sizes (see mg_solve docstring)
+        host_loop=(jax.default_backend() != "cpu"),
     )
     result.mg = precond
     result.rhs_used = rhs_slots

@@ -85,3 +85,70 @@ def cg_solve(
     state = (x, r, z, z, rz, jnp.asarray(0, jnp.int32), norm0)
     x, r, z, p, rz, it, res = jax.lax.while_loop(cond, body, state)
     return CGResult(x, it, res, res <= tol)
+
+
+@partial(jax.jit, static_argnames=("use_op_dot",))
+def _cg_host_init(fop, precond, b, use_op_dot):
+    dot = fop.dot if use_op_dot else (lambda a, c: jnp.sum(a * c))
+    r = b
+    z = precond.vmult(r)
+    rz = dot(r, z)
+    return r, z, rz, jnp.sqrt(dot(r, r).real)
+
+
+@partial(jax.jit, static_argnames=("use_op_dot",))
+def _cg_host_step(fop, precond, x, r, p, rz, use_op_dot):
+    """One PCG iteration as its own program (one A apply + one M apply)."""
+    dot = fop.dot if use_op_dot else (lambda a, c: jnp.sum(a * c))
+    ap = fop.vmult(p)
+    alpha = (rz / dot(p, ap)).astype(x.dtype)
+    x = x + alpha * p
+    r = r - alpha * ap
+    z = precond.vmult(r)
+    rz_new = dot(r, z)
+    beta = (rz_new / rz).astype(x.dtype)
+    p = z + beta * p
+    return x, r, p, rz_new, jnp.sqrt(dot(r, r).real)
+
+
+def cg_solve_host(
+    fop,
+    b: jax.Array,
+    preconditioner,
+    maxiter: int = 10000,
+    abstol: float = 1e-20,
+    reltol: float = 1e-4,
+    force_iterations: int | None = None,
+    use_op_dot: bool = False,
+) -> CGResult:
+    """PCG as a host loop over one jitted step per iteration.
+
+    Identical algebra to cg_solve, but each iteration is its own XLA
+    program.  Workaround for an XLA-TPU (axon) miscompilation of large
+    multi-iteration programs containing the local-smoothing V-cycle: the
+    single-application granularity is verified bit-exact against the CPU
+    backend, while the same chain inside one program computes inconsistent
+    loop state (see api.mg_solve docstring).  Costs one dispatch per
+    iteration."""
+    r, z, rz, norm0 = _cg_host_init(fop, preconditioner, b, use_op_dot)
+    if force_iterations is not None:
+        tol = 0.0
+        maxiter = force_iterations
+    else:
+        tol = max(abstol, reltol * float(norm0))
+    x = jnp.zeros_like(b)
+    p = z
+    it = 0
+    res = float(norm0)
+    while res > tol and it < maxiter:
+        x, r, p, rz, res_dev = _cg_host_step(
+            fop, preconditioner, x, r, p, rz, use_op_dot
+        )
+        res = float(res_dev)
+        it += 1
+    return CGResult(
+        x,
+        jnp.asarray(it, jnp.int32),
+        jnp.asarray(res, b.dtype),
+        jnp.asarray(res <= tol),
+    )

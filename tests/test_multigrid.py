@@ -185,3 +185,46 @@ def test_quadrant_flexible_geometry():
     mesh = G.create("quadrant_flexible", 3, 2, 2)
     res, prob, _ = api.solve_with_global_coarsening_hybrid(prm, mesh)
     assert res.converged and res.n_iterations <= 8
+
+
+def test_cg_solve_host_matches_while_loop():
+    """cg_solve_host (one jitted step per iteration — the axon while-loop
+    miscompilation workaround, api.mg_solve) is the same algebra as
+    cg_solve: identical iterates on an LS-preconditioned solve."""
+    from dealii_multigrid_tpu.mesh import generators as G
+    from dealii_multigrid_tpu.mesh.dof import (
+        distribute_dofs,
+        make_hanging_node_constraints,
+    )
+    from dealii_multigrid_tpu.models import poisson
+    from dealii_multigrid_tpu.ops.hybrid import build_hybrid_format
+    from dealii_multigrid_tpu.solvers.cg import cg_solve, cg_solve_host
+    from dealii_multigrid_tpu.solvers.local_smoothing import (
+        build_local_smoothing_mg_hybrid,
+    )
+    from dealii_multigrid_tpu.utils.params import MultigridParameters
+    from dealii_multigrid_tpu import api as A
+
+    mesh = G.create_quadrant(3, 3)
+    fine = A.build_level_hybrid(mesh, 2, jnp.float64)
+    gop = __import__(
+        "dealii_multigrid_tpu.ops.operator", fromlist=["make_operator"]
+    ).make_operator(fine.dofh, fine.hanging, dtype=jnp.float64)
+    prob = poisson.make_problem(fine.dofh, fine.hanging, gop, "Constant")
+    b = jnp.asarray(fine.fmt.from_global(np.asarray(prob.rhs)))
+    mg_data = MultigridParameters()
+    lsh = build_local_smoothing_mg_hybrid(
+        fine.dofh, fine.fmt, mg_data, dtype=jnp.float64
+    )
+    precond = A.PreconditionLS(lsh, fine.op.constrained_keep, jnp.float64)
+    r1 = cg_solve(
+        fine.op.vmult, b, preconditioner=precond.vmult,
+        maxiter=50, reltol=1e-8, dot=fine.op.dot,
+    )
+    r2 = cg_solve_host(
+        fine.op, b, preconditioner=precond,
+        maxiter=50, reltol=1e-8, use_op_dot=True,
+    )
+    assert int(r1.n_iterations) == int(r2.n_iterations)
+    assert bool(r2.converged)
+    assert np.allclose(np.asarray(r1.x), np.asarray(r2.x), rtol=1e-12, atol=1e-13)
