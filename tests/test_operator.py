@@ -117,3 +117,54 @@ def test_gaussian_matches_reference_values():
     assert abs(float(v[1]) - peak * np.exp(-0.75 / w**2)) < 1e-12
     f = P.gaussian_rhs(x)
     assert abs(float(f[0]) - 6.0 / w**2 * peak) < 1e-4
+
+
+def test_vector_operator_componentwise():
+    """n_components > 1 vector Laplacian (ops/vector.py — the reference
+    stubs this case, include/operator.h:396-406): block-diagonal action,
+    MG-preconditioned CG per-component identical to the scalar solve."""
+    import numpy as np
+    from dealii_multigrid_tpu import api
+    from dealii_multigrid_tpu.mesh import generators as G
+    from dealii_multigrid_tpu.ops.vector import (
+        VectorPreconditioner,
+        make_vector_operator,
+    )
+    from dealii_multigrid_tpu.solvers.cg import cg_solve
+    from dealii_multigrid_tpu.solvers.multigrid import PreconditionMG
+    from dealii_multigrid_tpu.mesh.coarsening import geometric_coarsening_sequence
+    from dealii_multigrid_tpu.utils.params import MultigridParameters
+
+    mesh = G.create_quadrant(3, 3)
+    plan = api.gc_level_plan(
+        "HMG-global", geometric_coarsening_sequence(mesh), 2
+    )
+    levels = [api.build_level_hybrid(m, d, jnp.float64) for m, d in plan]
+    fine = levels[-1]
+    mg_data = MultigridParameters()
+    mg_data.smoother.degree = 3
+    mg = api.build_gc_preconditioner_hybrid(levels, mg_data, jnp.float64)
+    precond = PreconditionMG(mg, jnp.float64)
+
+    nc = 3
+    vop = make_vector_operator(fine.op, nc)
+    vprec = VectorPreconditioner(precond)
+    rng = np.random.default_rng(5)
+    b1 = jnp.asarray(fine.fmt.from_global(rng.standard_normal(fine.dofh.n_dofs)))
+    b = jnp.stack([b1 * (c + 1.0) for c in range(nc)])
+
+    resv = cg_solve(
+        vop.vmult, b, preconditioner=vprec.vmult,
+        maxiter=50, reltol=1e-10, dot=vop.dot,
+    )
+    ress = cg_solve(
+        fine.op.vmult, b1, preconditioner=precond.vmult,
+        maxiter=50, reltol=1e-10, dot=fine.op.dot,
+    )
+    assert bool(resv.converged)
+    # block-diagonal system: component c solution = (c+1) * scalar solution
+    for c in range(nc):
+        assert np.allclose(
+            np.asarray(resv.x[c]), (c + 1.0) * np.asarray(ress.x),
+            rtol=1e-8, atol=1e-10,
+        )
