@@ -1,6 +1,7 @@
 """Benchmark: matrix-free multigrid CG throughput on the reference's default
 config family (HMG-global, quadrant mesh, Chebyshev(3), coarse direct/AMG,
-rtol 1e-4 — reference scripts/default.json), sized for a single chip.
+rtol 1e-4 — reference scripts/default.json) at quadrant r=7/p=4
+(17.55M DoF), the largest configuration whose setup fits the round budget.
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "DoF/s", "vs_baseline": N}
@@ -25,7 +26,7 @@ def main() -> int:
     params = RunParameters()
     params.type = "HMG-global"
     params.geometry_type = "quadrant"
-    params.n_ref_global = 6
+    params.n_ref_global = 7
     params.fe_degree_fine = 4  # north-star config is p=4
     # f32 outer CG with full-precision (3-pass bf16) contractions matches the
     # double-outer iteration counts at rtol 1e-4 (see DESIGN.md); double stays

@@ -582,7 +582,9 @@ def solve_with_global_coarsening_hybrid(
     # problem assembled hybrid-native in the slot layout (no gather-engine
     # operator compile — VERDICT r2 weak #2); the gather op is built for
     # metadata (CLI census, solution distribution) but never compiled
-    fine_gop = make_operator(fine.dofh, fine.hanging, dtype=outer_dtype)
+    fine_gop = make_operator(
+        fine.dofh, fine.hanging, dtype=outer_dtype, device=False
+    )
     if params.number_type == "mixed":
         # mixed mode promises an f64-accurate RHS around the f32 operator
         rhs_op = _hy.make_hybrid_operator(fine.fmt, fine.hanging, dtype=jnp.float64)
@@ -758,7 +760,9 @@ def solve_with_local_smoothing_hybrid(
         outer_op = _hy.make_hybrid_operator(fine.fmt, fine.hanging, dtype=outer_dtype)
 
     # RHS assembled hybrid-native (no gather-engine compile)
-    fine_gop = make_operator(fine.dofh, fine.hanging, dtype=outer_dtype)
+    fine_gop = make_operator(
+        fine.dofh, fine.hanging, dtype=outer_dtype, device=False
+    )
     if params.number_type == "mixed":
         rhs_op = _hy.make_hybrid_operator(fine.fmt, fine.hanging, dtype=jnp.float64)
     else:

@@ -164,7 +164,12 @@ def make_operator(
     dofh: DoFHandler,
     hanging: Constraints,
     dtype=jnp.float32,
+    device: bool = True,
 ) -> LaplaceOperator:
+    """``device=False`` keeps all tables as host numpy arrays — for callers
+    that only need the operator's METADATA (constraint census, occasional
+    host-side residual checks): at r=7/p=4 the device upload of the 197M-entry
+    cell table alone costs ~13 s of setup (measured)."""
     mesh = dofh.mesh
     dim, p = dofh.dim, dofh.degree
     hang, dirichlet = split_boundary_constraints(dofh, hanging)
@@ -173,22 +178,27 @@ def make_operator(
     scale = h.astype(np.float64) ** (dim - 2)
     constrained = np.unique(np.concatenate([dirichlet, hang.slave])).astype(np.int32)
     K = max(hang.masters.shape[1], 1)
+    np_dtype = np.dtype(dtype.dtype if hasattr(dtype, "dtype") else dtype)
+
+    def put(x, dt):
+        if device:
+            return to_device(x, dtype=dt)
+        return np.asarray(x, np.int32 if dt == jnp.int32 else np_dtype)
+
     return LaplaceOperator(
-        cell_dofs=to_device(dofh.cell_dofs, dtype=jnp.int32),
-        scale=to_device(scale, dtype=dtype),
-        elem=to_device(elem, dtype=dtype),
+        cell_dofs=put(dofh.cell_dofs, jnp.int32),
+        scale=put(scale, dtype),
+        elem=put(elem, dtype),
         hanging=ConstraintTable(
-            to_device(hang.slave, dtype=jnp.int32),
-            to_device(
+            put(hang.slave, jnp.int32),
+            put(
                 hang.masters if hang.masters.size else np.zeros((0, K), np.int32),
-                dtype=jnp.int32,
+                jnp.int32,
             ),
-            to_device(
-                hang.weights if hang.weights.size else np.zeros((0, K)), dtype=dtype
-            ),
+            put(hang.weights if hang.weights.size else np.zeros((0, K)), dtype),
         ),
-        dirichlet=to_device(dirichlet, dtype=jnp.int32),
-        constrained=to_device(constrained, dtype=jnp.int32),
+        dirichlet=put(dirichlet, jnp.int32),
+        constrained=put(constrained, jnp.int32),
         n_dofs=dofh.n_dofs,
     )
 

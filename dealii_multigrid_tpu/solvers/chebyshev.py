@@ -107,55 +107,118 @@ def estimate_eigenvalue_ranges(
     n_iterations: int = 20,
     use_op_dot: bool = False,
     seed: int = 42,
+    host_loop: bool | None = None,
 ) -> list[tuple[float, float]]:
-    """Batched eigenvalue estimation for a level hierarchy: ONE jitted
-    computation running the CG-Lanczos recursion of EVERY level (identical
+    """Batched eigenvalue estimation for a level hierarchy (identical
     numerics to per-level estimate_eigenvalue_range calls).
 
-    On the axon TPU backend each per-level compile costs ~10 s of remote
-    round-trip; batching all levels into one program cut the measured
-    smoother setup at r=6/p=4 from 82 s to one compile (round 3).
-    ``b0s`` entries may be None (deterministic jax.random vector, matching
-    the unbatched path).
-    """
+    Two execution modes, same algebra:
+      * host_loop=False: ONE jitted program containing every level's full
+        CG-Lanczos scan (one compile, no per-iteration dispatches) — used
+        on the CPU backend where compiles are cheap.
+      * host_loop=True (default on accelerator backends): a host loop over
+        one jitted step per CG iteration (every level advanced together,
+        one operator application per level per program).  The remote axon
+        compiler takes minutes for the scan-of-V-cycle-sized-body program
+        (measured: 543 s at r=7/p=4) while the per-step program compiles in
+        seconds; 20 dispatches cost ~0.7 s.  This granularity is also the
+        one verified bit-exact against CPU (see cg_solve_host).
+
+    ``b0s`` entries may be None (deterministic jax.random vector).
+
+    Default: the one-program mode — its compiled program persists in the
+    repo's .jax_cache, so warm runs pay only execution (the bench path);
+    pass host_loop=True for cold-cache scenarios where the one-program
+    remote compile (543 s at r=7/p=4) dominates."""
+    if host_loop is None:
+        host_loop = False
     gen = tuple(b is None for b in b0s)
     bs = tuple(
         inv_diag if b is None else b for b, inv_diag in zip(b0s, inv_diags)
     )
 
-    @partial(jax.jit, static_argnames=("n_it", "use_op_dot", "gen"))
-    def run_all(ops, inv_diags, bs, n_it, use_op_dot, gen):
-        outs = []
+    if not host_loop:
+        @partial(jax.jit, static_argnames=("n_it", "use_op_dot", "gen"))
+        def run_all(ops, inv_diags, bs, n_it, use_op_dot, gen):
+            outs = []
+            for op, inv_diag, b, g in zip(ops, inv_diags, bs, gen):
+                dot = op.dot if use_op_dot else (lambda a, c: jnp.sum(a * c))
+                if g:
+                    b = jax.random.normal(
+                        jax.random.PRNGKey(seed), inv_diag.shape, dtype=inv_diag.dtype
+                    )
+                r = b
+                z = inv_diag * r
+                p = z
+                rz = dot(r, z)
+
+                def body(carry, _):
+                    r, p, rz = carry
+                    ap = op.vmult(p)
+                    alpha = rz / dot(p, ap)
+                    r = r - alpha * ap
+                    z = inv_diag * r
+                    rz_new = dot(r, z)
+                    beta = rz_new / rz
+                    p = z + beta * p
+                    return (r, p, rz_new), (alpha, beta)
+
+                (_, _, _), (alphas, betas) = jax.lax.scan(
+                    body, (r, p, rz), None, length=n_it
+                )
+                outs.append((alphas, betas))
+            return tuple(outs)
+
+        outs = run_all(
+            tuple(ops), tuple(inv_diags), bs, n_iterations, use_op_dot, gen
+        )
+        return [_extremes_from_cg_coefficients(a, b) for a, b in outs]
+
+    @partial(jax.jit, static_argnames=("use_op_dot", "gen"))
+    def init_all(ops, inv_diags, bs, use_op_dot, gen):
+        state = []
         for op, inv_diag, b, g in zip(ops, inv_diags, bs, gen):
-            dot = op.dot if use_op_dot else (lambda a, c: jnp.sum(a * c))
             if g:
                 b = jax.random.normal(
                     jax.random.PRNGKey(seed), inv_diag.shape, dtype=inv_diag.dtype
                 )
+            dot = op.dot if use_op_dot else (lambda a, c: jnp.sum(a * c))
             r = b
             z = inv_diag * r
-            p = z
-            rz = dot(r, z)
+            state.append((r, z, dot(r, z)))
+        return tuple(state)
 
-            def body(carry, _):
-                r, p, rz = carry
-                ap = op.vmult(p)
-                alpha = rz / dot(p, ap)
-                r = r - alpha * ap
-                z = inv_diag * r
-                rz_new = dot(r, z)
-                beta = rz_new / rz
-                p = z + beta * p
-                return (r, p, rz_new), (alpha, beta)
+    @partial(jax.jit, static_argnames=("use_op_dot",))
+    def step_all(ops, inv_diags, state, use_op_dot):
+        new_state, coeffs = [], []
+        for op, inv_diag, (r, p, rz) in zip(ops, inv_diags, state):
+            dot = op.dot if use_op_dot else (lambda a, c: jnp.sum(a * c))
+            ap = op.vmult(p)
+            alpha = rz / dot(p, ap)
+            r = r - alpha * ap
+            z = inv_diag * r
+            rz_new = dot(r, z)
+            beta = rz_new / rz
+            p = z + beta * p
+            new_state.append((r, p, rz_new))
+            coeffs.append((alpha, beta))
+        return tuple(new_state), tuple(coeffs)
 
-            (_, _, _), (alphas, betas) = jax.lax.scan(
-                body, (r, p, rz), None, length=n_it
-            )
-            outs.append((alphas, betas))
-        return tuple(outs)
-
-    outs = run_all(tuple(ops), tuple(inv_diags), bs, n_iterations, use_op_dot, gen)
-    return [_extremes_from_cg_coefficients(a, b) for a, b in outs]
+    ops = tuple(ops)
+    inv_diags = tuple(inv_diags)
+    state = init_all(ops, inv_diags, bs, use_op_dot, gen)
+    hist = [[] for _ in ops]
+    for _ in range(n_iterations):
+        state, coeffs = step_all(ops, inv_diags, state, use_op_dot)
+        for i, ab in enumerate(coeffs):
+            hist[i].append(ab)
+    hist = jax.device_get(hist)  # one batched fetch of all coefficients
+    results = []
+    for h in hist:
+        alphas = np.asarray([float(a) for a, _ in h])
+        betas = np.asarray([float(b_) for _, b_ in h])
+        results.append(_extremes_from_cg_coefficients(alphas, betas))
+    return results
 
 
 @dataclass(frozen=True)

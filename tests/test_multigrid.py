@@ -228,3 +228,25 @@ def test_cg_solve_host_matches_while_loop():
     assert int(r1.n_iterations) == int(r2.n_iterations)
     assert bool(r2.converged)
     assert np.allclose(np.asarray(r1.x), np.asarray(r2.x), rtol=1e-12, atol=1e-13)
+
+
+def test_eig_host_loop_matches_batched():
+    """estimate_eigenvalue_ranges host-loop mode (one jitted CG step per
+    iteration — the remote-compile workaround) reproduces the one-program
+    scan results."""
+    from dealii_multigrid_tpu.mesh import generators as G
+    from dealii_multigrid_tpu.mesh.coarsening import geometric_coarsening_sequence
+    from dealii_multigrid_tpu.solvers.chebyshev import estimate_eigenvalue_ranges
+    from dealii_multigrid_tpu import api as A
+
+    mesh = G.create_quadrant(3, 3)
+    plan = A.gc_level_plan("HMG-global", geometric_coarsening_sequence(mesh), 2)
+    levels = [A.build_level_hybrid(m, d, jnp.float64) for m, d in plan]
+    ops = [lv.op for lv in levels[1:]]
+    invd = [lv.inv_diag for lv in levels[1:]]
+    b0s = [lv.eig_b0 for lv in levels[1:]]
+    r1 = estimate_eigenvalue_ranges(ops, invd, b0s, use_op_dot=True, host_loop=False)
+    r2 = estimate_eigenvalue_ranges(ops, invd, b0s, use_op_dot=True, host_loop=True)
+    for (a1, b1), (a2, b2) in zip(r1, r2):
+        assert abs(a1 - a2) < 1e-9 * max(abs(a1), 1.0)
+        assert abs(b1 - b2) < 1e-9 * max(abs(b1), 1.0)
