@@ -25,6 +25,29 @@ __version__ = "0.1.0"
 
 import os as _os
 
+# glibc returns every >128 KB allocation to the OS on free (mmap/munmap), so
+# each volume-sized NumPy temporary pays ~15 ns/byte in page faults on this
+# host — measured 3.7 s for a 240 MB elementwise op vs 0.05 s into
+# preallocated memory.  Keep freed arena memory resident so temporaries
+# recycle already-faulted pages (M_MMAP_THRESHOLD=-3, M_TRIM_THRESHOLD=-1).
+try:
+    import ctypes as _ctypes
+
+    _libc = _ctypes.CDLL(None)
+    _libc.mallopt(-3, 1 << 30)          # M_MMAP_THRESHOLD: 1 GB
+    _libc.mallopt(-1, 0x7FFFFFFF)       # M_TRIM_THRESHOLD: never trim
+except Exception:  # pragma: no cover - non-glibc platforms
+    pass
+
+# Transparent huge pages cut the first-touch fault count 512x (the faults
+# themselves are ~60 us VM exits here); best-effort, needs root.
+try:
+    with open("/sys/kernel/mm/transparent_hugepage/enabled", "r+") as _f:
+        if "[always]" not in _f.read():
+            _f.write("always")
+except Exception:  # pragma: no cover - no permission / not Linux
+    pass
+
 import jax as _jax
 
 # Persistent compilation cache: the axon TPU plugin compiles remotely and

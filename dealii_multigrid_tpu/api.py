@@ -273,6 +273,28 @@ def mg_solve(
         times.append(time.perf_counter() - t0)
     best = min(times)
     n_it = int(res.n_iterations)
+    if not host_loop:
+        # miscompile guard: the axon XLA backend has been observed to compute
+        # inconsistent loop state inside large multi-iteration while_loop
+        # programs (see docstring).  Single-application programs are bit-exact,
+        # so recompute ||b - A x|| in its own program and require agreement
+        # with the loop's residual.  Runs once, outside the timed loop.
+        @jax.jit
+        def _true_residual(fop, b, x):
+            r = b - fop.vmult(x)
+            d = fop.dot if use_op_dot else (lambda a, c: jnp.sum(a * c))
+            return jnp.sqrt(d(r, r).real)
+
+        loop_res = float(res.residual_norm)
+        true_res = float(_true_residual(fine_op, rhs, res.x))
+        scale = max(abs(loop_res), abs(true_res), 1e-300)
+        if true_res > 10.0 * loop_res + 1e-6 * scale and true_res > 1e-10:
+            raise RuntimeError(
+                "while-loop residual disagrees with the recomputed residual "
+                f"(loop {loop_res:.3e} vs true {true_res:.3e}): suspected "
+                "axon XLA while-loop miscompilation — rerun with "
+                "mg_solve(host_loop=True) (one jitted PCG step per iteration)"
+            )
     if n_dofs is None:
         n_dofs = rhs.shape[0]
     return MGSolveResult(

@@ -118,3 +118,88 @@ def unique_inverse(keys: np.ndarray):
         first.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
     )
     return first[:g].copy(), inverse
+
+
+def _bind_dofs(lib: ctypes.CDLL) -> None:
+    if getattr(lib, "_dofs_bound", False):
+        return
+    lib.mgtpu_distribute_dofs.restype = ctypes.c_int64
+    lib.mgtpu_distribute_dofs.argtypes = [
+        ctypes.POINTER(ctypes.c_int32),   # level
+        ctypes.POINTER(ctypes.c_int64),   # anchor
+        ctypes.c_int64,                   # n
+        ctypes.c_int32,                   # degree
+        ctypes.c_int32,                   # max level
+        ctypes.POINTER(ctypes.c_double),  # gauss-lobatto points
+        ctypes.c_double,                  # lower
+        ctypes.c_double,                  # upper
+        ctypes.POINTER(ctypes.c_int32),   # cell_dofs out
+        ctypes.POINTER(ctypes.c_double),  # points out
+        ctypes.POINTER(ctypes.c_uint8),   # boundary out
+    ]
+    lib.mgtpu_argsort_i64.restype = None
+    lib.mgtpu_argsort_i64.argtypes = [
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int64),
+    ]
+    lib._dofs_bound = True
+
+
+def distribute_dofs_native(level, anchor, degree, max_level, gl, lower, upper):
+    """Fused 3D DoF enumeration (native/dofs.cc); returns
+    (n_dofs, cell_dofs [n, nloc] i32, points [n_dofs, 3] f64,
+    boundary [n_dofs] bool) or None when the library is unavailable or the
+    packed key would overflow 63 bits (caller falls back to NumPy)."""
+    lib = load()
+    if lib is None:
+        return None
+    _bind_dofs(lib)
+    lv = np.ascontiguousarray(level, dtype=np.int32)
+    an = np.ascontiguousarray(anchor, dtype=np.int64)
+    glc = np.ascontiguousarray(gl, dtype=np.float64)
+    n = len(lv)
+    nloc = (degree + 1) ** 3
+    cell_dofs = np.empty(n * nloc, dtype=np.int32)
+    points = np.empty((n * nloc, 3), dtype=np.float64)
+    boundary = np.empty(n * nloc, dtype=np.uint8)
+    nd = lib.mgtpu_distribute_dofs(
+        lv.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        an.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        n,
+        degree,
+        max_level,
+        glc.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        lower,
+        upper,
+        cell_dofs.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        points.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        boundary.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+    )
+    if nd < 0:
+        return None
+    # views, not copies: new physical memory costs ~9 s/GB on this host and
+    # the unwritten tail of the capacity buffers was never touched
+    return (
+        int(nd),
+        cell_dofs.reshape(n, nloc),
+        points[:nd],
+        boundary[:nd].view(bool),
+    )
+
+
+def argsort_i64(keys: np.ndarray) -> np.ndarray:
+    """Stable radix argsort for non-negative int64 keys (native), with a
+    NumPy fallback."""
+    keys = np.ascontiguousarray(keys, dtype=np.int64)
+    lib = load()
+    if lib is None or (len(keys) and keys.min() < 0):
+        return np.argsort(keys, kind="stable")
+    _bind_dofs(lib)
+    order = np.empty(len(keys), dtype=np.int64)
+    lib.mgtpu_argsort_i64(
+        keys.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        len(keys),
+        order.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+    )
+    return order

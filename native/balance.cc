@@ -142,42 +142,57 @@ extern "C" {
 int64_t mgtpu_unique_inverse_i64(const int64_t* keys, int64_t n,
                                  int64_t* inverse, int64_t* first) {
   if (n == 0) return 0;
-  std::vector<int64_t> idx(n), tmp(n);
-  for (int64_t i = 0; i < n; ++i) idx[i] = i;
-  // LSD radix over 16-bit digits; skip passes where all keys share the digit
-  std::array<int64_t, 65536> count;
-  for (int pass = 0; pass < 4; ++pass) {
-    const int shift = pass * 16;
-    count.fill(0);
-    for (int64_t i = 0; i < n; ++i)
-      ++count[(uint64_t)(keys[idx[i]]) >> shift & 0xFFFF];
+  int64_t mx = 0;
+  for (int64_t i = 0; i < n; ++i)
+    if (keys[i] > mx) mx = keys[i];
+  int bits = 1;
+  while ((mx >> bits) != 0) ++bits;
+  // pair-moving LSD radix over 11-bit digits: sequential reads + 2*2048
+  // cache-resident scattered write streams (the gather-based variant paid
+  // one cache miss per keys[idx[i]] — see native/dofs.cc)
+  std::vector<int64_t> ka(keys, keys + n), kb(n);
+  std::vector<int64_t> ia(n), ib(n);
+  int64_t* kcur = ka.data();
+  int64_t* knxt = kb.data();
+  int64_t* icur = ia.data();
+  int64_t* inxt = ib.data();
+  for (int64_t i = 0; i < n; ++i) icur[i] = i;
+  const int DIG = 11, NB = 1 << DIG, MASKD = NB - 1;
+  std::vector<int64_t> count(NB);
+  const int npass = (bits + DIG - 1) / DIG;
+  for (int pass = 0; pass < npass; ++pass) {
+    const int shift = pass * DIG;
+    for (auto& c : count) c = 0;
+    for (int64_t i = 0; i < n; ++i) ++count[(uint64_t)kcur[i] >> shift & MASKD];
     bool trivial = false;
-    for (int d = 0; d < 65536; ++d)
+    for (int d = 0; d < NB; ++d)
       if (count[d] == n) {
         trivial = true;
         break;
       }
     if (trivial) continue;
     int64_t sum = 0;
-    for (int d = 0; d < 65536; ++d) {
+    for (int d = 0; d < NB; ++d) {
       const int64_t c = count[d];
       count[d] = sum;
       sum += c;
     }
-    for (int64_t i = 0; i < n; ++i)
-      tmp[count[(uint64_t)(keys[idx[i]]) >> shift & 0xFFFF]++] = idx[i];
-    idx.swap(tmp);
+    for (int64_t i = 0; i < n; ++i) {
+      const int64_t pos = count[(uint64_t)kcur[i] >> shift & MASKD]++;
+      knxt[pos] = kcur[i];
+      inxt[pos] = icur[i];
+    }
+    int64_t* t = kcur; kcur = knxt; knxt = t;
+    t = icur; icur = inxt; inxt = t;
   }
   int64_t g = -1;
   int64_t prev = 0;
   for (int64_t i = 0; i < n; ++i) {
-    const int64_t j = idx[i];
-    if (g < 0 || keys[j] != prev) {
+    const int64_t j = icur[i];
+    if (g < 0 || kcur[i] != prev) {
       ++g;
-      first[g] = j;
-      prev = keys[j];
-    } else if (j < first[g]) {
-      first[g] = j;
+      first[g] = j;  // stable radix: first occurrence = minimum index
+      prev = kcur[i];
     }
     inverse[j] = g;
   }
