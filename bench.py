@@ -45,6 +45,49 @@ def main() -> int:
     result, problem, levels = api.solve_with_global_coarsening_hybrid(params, mesh)
     setup_time = time.time() - t0
 
+    # second row: the reference's benchmarked precision instantiation
+    # run<3,1,double,float> (multigrid_throughput.cc:2430-2433) — f64 outer
+    # CG around the SAME f32 level hierarchy (NumberType=mixed).
+    mixed = {}
+    try:
+        import jax.numpy as jnp
+
+        from dealii_multigrid_tpu import api as _api
+        from dealii_multigrid_tpu.models import poisson
+        from dealii_multigrid_tpu.ops import hybrid as _hy
+        from dealii_multigrid_tpu.ops.operator import make_operator
+        from dealii_multigrid_tpu.solvers.multigrid import PreconditionMG
+
+        jax.config.update("jax_enable_x64", True)
+        fine = levels[-1]
+        mixed_op = _api.MixedPrecisionOperator(fine.op)
+        rhs64_op = _hy.make_hybrid_operator(
+            fine.fmt, fine.hanging, dtype=jnp.float64
+        )
+        gop = make_operator(fine.dofh, fine.hanging, dtype=jnp.float64, device=False)
+        _problem64, rhs64 = poisson.assemble_problem_hybrid(
+            fine.dofh, fine.hanging, rhs64_op,
+            _hy.cell_slot_table(fine.fmt), fine.fmt, gop,
+            params.simulation_type,
+        )
+        res_m = _api.mg_solve(
+            mixed_op,
+            rhs64.astype(jnp.float64),
+            PreconditionMG(result.mg, jnp.float64),
+            params.mg_data,
+            n_levels=result.n_levels,
+            dot=True,
+            n_dofs=fine.dofh.n_dofs,
+        )
+        mixed = {
+            "mixed_throughput": res_m.throughput,
+            "mixed_n_iterations": res_m.n_iterations,
+            "mixed_converged": res_m.converged,
+            "mixed_solve_time_s": res_m.time,
+        }
+    except Exception as e:  # pragma: no cover - keep the headline row alive
+        mixed = {"mixed_error": f"{type(e).__name__}: {e}"}
+
     per_chip_baseline = 2.0e9 / 16.0
     out = {
         "metric": "mg_cg_throughput_quadrant_p4_1chip",
@@ -58,6 +101,7 @@ def main() -> int:
         "setup_time_s": setup_time,
         "n_levels": result.n_levels,
         "device": str(jax.devices()[0].device_kind),
+        **mixed,
     }
     print(json.dumps(out))
     return 0

@@ -365,8 +365,12 @@ def solve_with_amg(params: RunParameters, fine_mesh: AdaptiveMesh):
     problem = poisson.make_problem(
         fine.dofh, fine.hanging, fine.op, params.simulation_type
     )
+    # AMGPETSc selects the second, BoomerAMG-parameterized algebraic
+    # flavour (strong threshold 0.5, aggressive coarsening — amg.py::
+    # build_amg_boomer); AMG the Trilinos-ML-default analog
+    kind = "amg_petsc" if params.type == "AMGPETSc" else "amg"
     solver = make_coarse_solver(
-        "amg", fine.op, fine.dofh, fine.hanging,
+        kind, fine.op, fine.dofh, fine.hanging,
         mg_data=params.mg_data, dtype=outer_dtype,
     )
     result = mg_solve(fine.op, problem.rhs, solver, params.mg_data, n_levels=1)
@@ -392,16 +396,6 @@ def dispatch_solve(params: RunParameters, mesh: AdaptiveMesh):
             return solve_with_global_coarsening_hybrid(params, mesh)
         return solve_with_global_coarsening(params, mesh)
     if params.type in ("AMG", "AMGPETSc"):
-        if params.type == "AMGPETSc":
-            # both reference AMG flavours (Trilinos ML / BoomerAMG,
-            # multigrid_throughput.cc:1904-1937) map to the same native
-            # SA-AMG / direct solver here; say so instead of silently
-            # accepting the type string (VERDICT r2)
-            print(
-                "note: AMGPETSc runs the same native algebraic solver as AMG "
-                "(no external PETSc); iteration parity is the acceptance "
-                "criterion"
-            )
         return solve_with_amg(params, mesh)
     if params.type in ("HMG-local", "HPMG-local"):
         return solve_with_local_smoothing(params, mesh)
@@ -482,6 +476,7 @@ def _hybrid_coarse_solver(kind: str, level: HybridLevel, mg_data, dtype):
             level.dofh, level.hanging, dtype, mg_data,
             force_direct=(kind == "direct"),
             to_idx=level.to_global_idx, from_idx=level.from_global_idx,
+            flavor="boomer" if kind == "amg_petsc" else "sa",
         )
         if kind != "cg_with_amg":
             return direct
@@ -521,6 +516,11 @@ def build_gc_preconditioner_hybrid(
         [levels[l].eig_b0 for l in range(1, len(levels))],
         n_iterations=mg_data.smoother.eig_cg_n_iterations,
         use_op_dot=True,
+        # the volume-sized levels are the entire remote-compile cost on the
+        # axon backend; their lam_max is extrapolated (chebyshev.py docstring)
+        extrapolate_above=(
+            2_000_000 if jax.default_backend() != "cpu" else None
+        ),
     )
     smoothers: list = [None]
     for l in range(1, len(levels)):
@@ -769,7 +769,19 @@ def solve_with_local_smoothing_hybrid(
     level_dtype = number_dtype(params.mg_number_type)
     p = params.fe_degree_fine
 
-    fine = build_level_hybrid(fine_mesh, p, level_dtype)
+    n_shards = params.n_shards if params.n_shards != 0 else len(jax.devices())
+    dmesh = None
+    if n_shards > 1:
+        from .parallel import sharding as SH
+
+        dmesh = SH.make_device_mesh(n_shards)
+        fine = build_level_hybrid(
+            fine_mesh, p, level_dtype,
+            n_shards=SH.hybrid_level_shard_count(fine_mesh.n_cells, n_shards),
+        )
+        fine = SH.place_hybrid_level(fine, dmesh)
+    else:
+        fine = build_level_hybrid(fine_mesh, p, level_dtype)
     if params.number_type == "mixed":
         outer_op = MixedPrecisionOperator(
             fine.op
@@ -780,6 +792,16 @@ def solve_with_local_smoothing_hybrid(
         outer_op = fine.op
     else:
         outer_op = _hy.make_hybrid_operator(fine.fmt, fine.hanging, dtype=outer_dtype)
+    if dmesh is not None and outer_op is not fine.op:
+        from .parallel import sharding as SH
+
+        inner = getattr(outer_op, "op", outer_op)
+        inner = SH.place_hybrid_op(inner, dmesh)
+        outer_op = (
+            MixedPrecisionOperator(inner)
+            if params.number_type == "mixed"
+            else inner
+        )
 
     # RHS assembled hybrid-native (no gather-engine compile)
     fine_gop = make_operator(
@@ -799,23 +821,47 @@ def solve_with_local_smoothing_hybrid(
         params.simulation_type,
     )
     rhs_slots = rhs_slots.astype(outer_dtype)
+    if dmesh is not None and fine.op.n_shards > 1:
+        from .parallel import sharding as SH
+
+        rhs_slots = SH.shard_vector(rhs_slots, dmesh)
 
     if params.type == "HMG-local":
         lsmg = build_local_smoothing_mg_hybrid(
             fine.dofh, fine.fmt, params.mg_data,
             dtype=level_dtype, min_level=max(params.min_level, 0),
+            n_shards=n_shards, dmesh=dmesh,
         )
         precond = PreconditionLS(lsmg, fine.op.constrained_keep, outer_dtype)
         n_levels = len(lsmg.levels)
     elif params.type == "HPMG-local":
         degrees = polynomial_coarsening_sequence(p, "bisect")
-        plevels = [
-            fine if d == p else build_level_hybrid(fine_mesh, d, level_dtype)
-            for d in degrees
-        ]
+        if dmesh is not None:
+            from .parallel import sharding as SH
+
+            plevels = [
+                fine
+                if d == p
+                else SH.place_hybrid_level(
+                    build_level_hybrid(
+                        fine_mesh, d, level_dtype,
+                        n_shards=SH.hybrid_level_shard_count(
+                            fine_mesh.n_cells, n_shards
+                        ),
+                    ),
+                    dmesh,
+                )
+                for d in degrees
+            ]
+        else:
+            plevels = [
+                fine if d == p else build_level_hybrid(fine_mesh, d, level_dtype)
+                for d in degrees
+            ]
         lsmg = build_local_smoothing_mg_hybrid(
             plevels[0].dofh, plevels[0].fmt, params.mg_data,
             dtype=level_dtype, min_level=max(params.min_level, 0),
+            n_shards=n_shards, dmesh=dmesh,
         )
         ls_precond = PreconditionLS(
             lsmg, plevels[0].op.constrained_keep, level_dtype
@@ -842,5 +888,8 @@ def solve_with_local_smoothing_hybrid(
     )
     result.mg = precond
     result.rhs_used = rhs_slots
+    result.n_shards = n_shards
+    # sub_comm_size analog: device count of the coarsest LS level
+    result.sub_comm_size = lsmg.levels[0].op.n_shards
     result.x = fine.to_global(result.x)
     return result, problem, [fine]

@@ -91,10 +91,23 @@ def run_config(params: RunParameters, table: ConvergenceTable) -> None:
         u_full = problem.full_solution(result.x)
         write_vtu("solution.vtu", problem.dofh, np.asarray(u_full))
 
-    if params.verbose and params.type in ("PMG", "HMG-global", "HPMG"):
+    if params.verbose and params.type in (
+        "PMG", "HMG-global", "HPMG", "HMG-local", "HPMG-local",
+    ):
         import jax
 
-        meshes = [lv.mesh for lv in levels]
+        if params.type in ("HMG-local", "HPMG-local"):
+            # the reference prints MG statistics for local smoothing from the
+            # single-tria LEVEL hierarchy (multigrid_throughput.cc:1866,
+            # mg_tools.h:267 overload): level l = all tree cells at level l
+            from dealii_multigrid_tpu.solvers.local_smoothing import level_mesh
+
+            meshes = [
+                level_mesh(mesh, l)
+                for l in range(max(params.min_level, 0), mesh.max_level + 1)
+            ]
+        else:
+            meshes = [lv.mesh for lv in levels]
         n_shards = getattr(result, "n_shards", 1)
         if n_shards <= 1:
             n_shards = max(len(jax.devices()), 1)

@@ -368,3 +368,57 @@ def dryrun_sharded_solve(
         jax.config.update("jax_enable_x64", x64_prev)
         if debug:
             jax.config.update("jax_debug_nans", False)
+
+
+def dryrun_sharded_ls_solve(
+    n_devices: int,
+    n_ref: int = 5,
+    degree: int = 3,
+    reltol: float = 1e-10,
+) -> float:
+    """Full HMG-local (local-smoothing) V-cycle-preconditioned CG on the
+    hybrid engine through the PRODUCTION path
+    (api.solve_with_local_smoothing_hybrid), with per-LEVEL-mesh Morton
+    device-major partitions (the reference's per-level partitioners,
+    multigrid_throughput.cc:1800-1802), asserted equal to the single-device
+    solve.  Returns the relative L2 difference in the global DoF layout."""
+    import jax
+
+    x64_prev = bool(jax.config.jax_enable_x64)
+    jax.config.update("jax_enable_x64", True)
+    try:
+        import numpy as np
+
+        from .. import api
+        from ..mesh import generators
+        from ..utils.params import RunParameters
+
+        def solve(n_shards):
+            params = RunParameters()
+            params.type = "HMG-local"
+            params.geometry_type = "quadrant"
+            params.n_ref_global = n_ref
+            params.fe_degree_fine = degree
+            params.number_type = "double"
+            params.mg_number_type = "double"
+            params.mg_data.coarse_solver.type = "amg"
+            params.mg_data.smoother.degree = 3
+            params.mg_data.cg_normal.reltol = reltol
+            params.mg_data.n_repetitions = 1
+            params.n_shards = n_shards
+            mesh = generators.create("quadrant", 3, n_ref, 0)
+            result, _problem, _levels = api.solve_with_local_smoothing_hybrid(
+                params, mesh
+            )
+            return np.asarray(result.x), result.n_iterations
+
+        x_ref, it_ref = solve(1)
+        x_sh, it_sh = solve(n_devices)
+        rel = float(
+            np.linalg.norm(x_sh - x_ref) / max(np.linalg.norm(x_ref), 1e-300)
+        )
+        assert rel < 1e-8, f"sharded LS solve diverged: {rel:e}"
+        assert abs(it_sh - it_ref) <= 1, (it_sh, it_ref)
+        return rel
+    finally:
+        jax.config.update("jax_enable_x64", x64_prev)

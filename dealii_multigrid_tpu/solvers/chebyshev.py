@@ -108,6 +108,7 @@ def estimate_eigenvalue_ranges(
     use_op_dot: bool = False,
     seed: int = 42,
     host_loop: bool | None = None,
+    extrapolate_above: int | None = None,
 ) -> list[tuple[float, float]]:
     """Batched eigenvalue estimation for a level hierarchy (identical
     numerics to per-level estimate_eigenvalue_range calls).
@@ -126,12 +127,45 @@ def estimate_eigenvalue_ranges(
 
     ``b0s`` entries may be None (deterministic jax.random vector).
 
-    Default: the one-program mode — its compiled program persists in the
-    repo's .jax_cache, so warm runs pay only execution (the bench path);
-    pass host_loop=True for cold-cache scenarios where the one-program
-    remote compile (543 s at r=7/p=4) dominates."""
+    Default: host-loop on accelerator backends — the axon remote backend
+    pays minutes to LOAD the one-program scan even on a persistent-cache
+    hit (measured 165 s warm / 543 s cold at r=7/p=4), while the per-step
+    program loads in seconds and 20 dispatches cost ~0.7 s.  On CPU the
+    one-program mode is a plain fast compile and wins.
+
+    ``extrapolate_above``: levels with more than this many vector entries
+    are EXCLUDED from the device computation and assigned
+    1.05 * max(computed lam_max).  lam_max(D^{-1} A) of the rescaled
+    Laplacian converges from below along the level hierarchy (measured
+    quadrant p=4: 1.885, 2.107, 2.157, 2.180, 2.187 — fine levels within
+    0.3%), so the margin over the finest computed level is a safe
+    OVERestimate; combined with deal.II's 1.2 safety factor the Chebyshev
+    interval is unchanged in practice, while the estimation program stays
+    small (the volume-sized levels were the entire remote-compile cost)."""
     if host_loop is None:
-        host_loop = False
+        host_loop = jax.default_backend() != "cpu"
+    if extrapolate_above is not None:
+        sizes = [int(d.shape[0]) for d in inv_diags]
+        comp = [i for i, n in enumerate(sizes) if n <= extrapolate_above]
+        if not comp:  # always compute at least the coarsest level
+            comp = [int(np.argmin(sizes))]
+        if len(comp) < len(sizes):
+            sub = estimate_eigenvalue_ranges(
+                [ops[i] for i in comp],
+                [inv_diags[i] for i in comp],
+                [b0s[i] for i in comp],
+                n_iterations=n_iterations,
+                use_op_dot=use_op_dot,
+                seed=seed,
+                host_loop=host_loop,
+            )
+            lam_hi = 1.05 * max(a for a, _ in sub)
+            lam_lo = min(b for _, b in sub)
+            out = []
+            it = iter(sub)
+            for i in range(len(sizes)):
+                out.append(next(it) if i in set(comp) else (lam_hi, lam_lo))
+            return out
     gen = tuple(b is None for b in b0s)
     bs = tuple(
         inv_diag if b is None else b for b, inv_diag in zip(b0s, inv_diags)

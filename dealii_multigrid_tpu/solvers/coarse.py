@@ -183,7 +183,11 @@ def make_coarse_solver(
         )
         return make_cg_coarse_solver(op, smoother, maxiter, abstol, reltol)
     if kind in ("amg", "amg_petsc", "direct"):
-        return make_algebraic_solver(dofh, hanging, dtype, mg_data, force_direct=(kind == "direct"))
+        return make_algebraic_solver(
+            dofh, hanging, dtype, mg_data,
+            force_direct=(kind == "direct"),
+            flavor="boomer" if kind == "amg_petsc" else "sa",
+        )
     if kind == "cg_with_amg":
         alg = make_algebraic_solver(dofh, hanging, dtype, mg_data)
         return make_cg_coarse_solver(op, alg, maxiter, abstol, reltol)
@@ -204,14 +208,16 @@ def make_algebraic_solver(
     force_direct: bool = False,
     to_idx=None,
     from_idx=None,
+    flavor: str = "sa",
 ):
     if force_direct or dofh.n_dofs <= DIRECT_SOLVER_MAX_DOFS:
         return make_direct_coarse_solver(dofh, hanging, dtype, to_idx, from_idx)
-    from .amg import build_amg
+    from .amg import build_amg, build_amg_boomer
 
     A = assemble_sparse_matrix(dofh, hanging)
     n_cycles = mg_data.coarse_solver.n_cycles if mg_data else 1
-    amg = build_amg(A, dtype=dtype, n_cycles=n_cycles)
+    builder = build_amg_boomer if flavor == "boomer" else build_amg
+    amg = builder(A, dtype=dtype, n_cycles=n_cycles)
     if to_idx is None:
         return amg
     return SlottedSolver(amg, to_idx, from_idx)

@@ -369,11 +369,25 @@ def build_local_smoothing_mg_hybrid(
     mg_data,
     dtype=jnp.float32,
     min_level: int = 0,
+    n_shards: int = 1,
+    dmesh=None,
 ) -> LocalSmoothingMGHybrid:
     """Hybrid-engine LS hierarchy; ``active_fmt`` is the ACTIVE mesh's
-    HybridFormat whose slot layout the preconditioner operates on."""
+    HybridFormat whose slot layout the preconditioner operates on.
+
+    With ``n_shards`` > 1 each LEVEL mesh gets its own Morton-block
+    device-major partition — the analog of the reference's per-level
+    partitioners inside MGTransferMatrixFree on the fullydistributed
+    level triangulations (multigrid_throughput.cc:1800-1802, 2196-2212);
+    levels below the granularity threshold are replicated (redundant
+    compute — the sub-communicator analog).  ``dmesh`` places the arrays."""
     from ..mesh.dof import Constraints
-    from ..ops.hybrid import build_hybrid_format, make_hybrid_operator, slots_of
+    from ..ops.hybrid import (
+        build_hybrid_format,
+        make_hybrid_operator,
+        repartition_format,
+        slots_of,
+    )
     from ..ops.hybrid_transfer import make_hybrid_transfer
     from .chebyshev import estimate_eigenvalue_ranges
     from .coarse import make_algebraic_solver
@@ -399,6 +413,12 @@ def build_local_smoothing_mg_hybrid(
         # (operator.h:152-183); fold the edge set into the Dirichlet mask
         dofh.boundary_mask = dofh.boundary_mask | edge
         fmt = build_hybrid_format(dofh, K=8)
+        if n_shards > 1:
+            from ..parallel.sharding import hybrid_level_shard_count
+
+            D_l = hybrid_level_shard_count(lm.n_cells, n_shards)
+            if D_l > 1:
+                fmt = repartition_format(fmt, D_l)
         empty = Constraints(
             dofh.n_dofs, np.zeros(0, np.int32), np.zeros((0, 1), np.int32),
             np.zeros((0, 1)),
@@ -434,21 +454,22 @@ def build_local_smoothing_mg_hybrid(
         else:
             to_flat = to_src = fr_flat = fr_src = np.zeros(0, np.int64)
 
-        levels.append(
-            LSHybridLevel(
-                op=op,
-                edge_ind=to_device(fmt.from_global(edge_f), dtype),
-                inv_diag=to_device(fmt.from_global(1.0 / diag), dtype),
-                eig_b0=to_device(
-                    fmt.from_global(rng.standard_normal(dofh.n_dofs)), dtype
-                ),
-                to_slots=to_device(to_flat, jnp.int32),
-                to_src=to_device(to_src, jnp.int32),
-                from_slots=to_device(fr_flat, jnp.int32),
-                from_src=to_device(fr_src, jnp.int32),
-                n_dofs=fmt.n_slots,
-            )
+        lev = LSHybridLevel(
+            op=op,
+            edge_ind=to_device(fmt.from_global(edge_f), dtype),
+            inv_diag=to_device(fmt.from_global(1.0 / diag), dtype),
+            eig_b0=to_device(
+                fmt.from_global(rng.standard_normal(dofh.n_dofs)), dtype
+            ),
+            to_slots=to_device(to_flat, jnp.int32),
+            to_src=to_device(to_src, jnp.int32),
+            from_slots=to_device(fr_flat, jnp.int32),
+            from_src=to_device(fr_src, jnp.int32),
+            n_dofs=fmt.n_slots,
         )
+        if dmesh is not None:
+            lev = _place_ls_level(lev, dmesh)
+        levels.append(lev)
         host_fmts.append(fmt)
         host_dofhs.append(dofh)
 
@@ -471,6 +492,9 @@ def build_local_smoothing_mg_hybrid(
             mg_data.smoother.eig_cg_n_iterations if mg_data else 20
         ),
         use_op_dot=True,
+        extrapolate_above=(
+            2_000_000 if jax.default_backend() != "cpu" else None
+        ),
     )
     smoothers = [None]
     for lv, rg in zip(levels[1:], ranges):
@@ -504,6 +528,37 @@ def build_local_smoothing_mg_hybrid(
         transfers=tuple(transfers),
         coarse_solve=coarse,
         n_dofs_global=active_fmt.n_slots,
+    )
+
+
+def _place_ls_level(lev: LSHybridLevel, dmesh):
+    """Place one LS level on the device mesh: op arrays per its n_shards,
+    slot vectors likewise, copy-map index tables replicated (their gathers
+    are the copy_to/from_mg communication — XLA SPMD places it)."""
+    import dataclasses
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ..parallel.sharding import CELL_AXIS, place_hybrid_op
+
+    op = place_hybrid_op(lev.op, dmesh)
+    sh1 = (
+        NamedSharding(dmesh, P(CELL_AXIS))
+        if op.n_shards > 1
+        else NamedSharding(dmesh, P())
+    )
+    rep = NamedSharding(dmesh, P())
+    put = jax.device_put
+    return dataclasses.replace(
+        lev,
+        op=op,
+        edge_ind=put(lev.edge_ind, sh1),
+        inv_diag=put(lev.inv_diag, sh1),
+        eig_b0=put(lev.eig_b0, sh1),
+        to_slots=put(lev.to_slots, rep),
+        to_src=put(lev.to_src, rep),
+        from_slots=put(lev.from_slots, rep),
+        from_src=put(lev.from_src, rep),
     )
 
 

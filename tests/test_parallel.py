@@ -234,3 +234,17 @@ def test_sharded_solve_with_policy_api():
     assert res.converged and res.n_iterations <= 6
     assert res.n_shards == 8
     assert any(lv.op.n_shards == 8 for lv in lvls)
+
+
+def test_sharded_ls_matches_single_device():
+    """HMG-local (hybrid engine) with per-LEVEL-mesh Morton device-major
+    partitions on an 8-device mesh == single-device solve (the reference's
+    per-level partitioners in MGTransferMatrixFree,
+    multigrid_throughput.cc:1800-1802).  The driver's dryrun runs r=5/p=3;
+    the suite uses r=4/p=2 to keep CI time bounded."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from dealii_multigrid_tpu.parallel.sharding import dryrun_sharded_ls_solve
+
+    rel = dryrun_sharded_ls_solve(8, n_ref=4, degree=2)
+    assert rel < 1e-8
