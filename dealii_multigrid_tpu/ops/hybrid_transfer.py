@@ -168,18 +168,7 @@ class HybridTransfer:
                     [v, jnp.zeros((1, sub, sub, sub), dtype)], axis=0
                 )
                 g = vpad[child_rows]
-                # zero-pad g to the full patch lattice and add: a window
-                # .at[:, ox:ox+sub, ...].add lowers to a slow strided update
-                # chain (DESIGN.md); pad+add is one fused volume pass
-                acc_p = acc_p + jnp.pad(
-                    g,
-                    (
-                        (0, 0),
-                        (ox, S_c - sub - ox),
-                        (oy, S_c - sub - oy),
-                        (oz, S_c - sub - oz),
-                    ),
-                )
+                acc_p = acc_p.at[:, ox : ox + sub, oy : oy + sub, oz : oz + sub].add(g)
             if self.id_bucket is not None:
                 fidx, cidx = self.id_bucket
                 acc_p = acc_p.at[cidx].add(rp[fidx])
