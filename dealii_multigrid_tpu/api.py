@@ -498,6 +498,24 @@ def _hybrid_coarse_solver(kind: str, level: HybridLevel, mg_data, dtype):
     return make_cg_coarse_solver(op, prec, maxiter, abstol, reltol, use_op_dot=True)
 
 
+def _eig_cache_key(tag, meshes, degrees, n_slots_list, n_iterations, dtype):
+    """Deterministic fingerprint of an eigenvalue-estimation problem: the
+    level meshes (cell sets), degrees, slot layouts, CG depth and dtype."""
+    import hashlib
+
+    from .mesh.octree import morton_encode
+
+    h = hashlib.sha1()
+    h.update(f"{tag}|it{n_iterations}|{jnp.dtype(dtype).name}|v1".encode())
+    for m, d, ns in zip(meshes, degrees, n_slots_list):
+        codes = morton_encode(
+            m.anchor << (m.max_level - m.level)[:, None].astype(np.int64)
+        )
+        chk = int(np.bitwise_xor.reduce(codes)) ^ int(m.level.sum())
+        h.update(f"|{m.n_cells},{d},{ns},{chk}".encode())
+    return h.hexdigest()
+
+
 def build_gc_preconditioner_hybrid(
     levels: list[HybridLevel], mg_data: MultigridParameters, level_dtype
 ) -> Multigrid:
@@ -520,6 +538,14 @@ def build_gc_preconditioner_hybrid(
         # axon backend; their lam_max is extrapolated (chebyshev.py docstring)
         extrapolate_above=(
             2_000_000 if jax.default_backend() != "cpu" else None
+        ),
+        cache_key=_eig_cache_key(
+            "gc",
+            [lv.mesh for lv in levels[1:]],
+            [lv.degree for lv in levels[1:]],
+            [lv.op.n_slots for lv in levels[1:]],
+            mg_data.smoother.eig_cg_n_iterations,
+            level_dtype,
         ),
     )
     smoothers: list = [None]

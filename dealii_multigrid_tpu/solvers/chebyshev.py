@@ -100,6 +100,45 @@ def _extremes_from_cg_coefficients(alphas, betas) -> tuple[float, float]:
     return float(ev[-1]), float(ev[0])
 
 
+def _eig_cache_file():
+    import os
+
+    d = os.environ.get(
+        "DEALII_MG_TPU_JAX_CACHE",
+        os.path.join(os.path.dirname(__file__), "..", "..", ".jax_cache"),
+    )
+    return os.path.join(os.path.abspath(d), "eig_cache.json")
+
+
+def _eig_cache_load() -> dict:
+    import json
+    import os
+
+    path = _eig_cache_file()
+    if os.path.exists(path):
+        try:
+            with open(path) as f:
+                return json.load(f)
+        except Exception:
+            return {}
+    return {}
+
+
+def _eig_cache_store(key: str, ranges) -> None:
+    import json
+    import os
+
+    path = _eig_cache_file()
+    try:
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        data = _eig_cache_load()
+        data[key] = [[float(a), float(b)] for a, b in ranges]
+        with open(path, "w") as f:
+            json.dump(data, f)
+    except Exception:  # pragma: no cover - cache is best-effort
+        pass
+
+
 def estimate_eigenvalue_ranges(
     ops,
     inv_diags,
@@ -109,6 +148,7 @@ def estimate_eigenvalue_ranges(
     seed: int = 42,
     host_loop: bool | None = None,
     extrapolate_above: int | None = None,
+    cache_key: str | None = None,
 ) -> list[tuple[float, float]]:
     """Batched eigenvalue estimation for a level hierarchy (identical
     numerics to per-level estimate_eigenvalue_range calls).
@@ -144,6 +184,14 @@ def estimate_eigenvalue_ranges(
     small (the volume-sized levels were the entire remote-compile cost)."""
     if host_loop is None:
         host_loop = jax.default_backend() != "cpu"
+    # disk memo: the estimation is a DETERMINISTIC pure function of the
+    # hierarchy (fixed seed / b0 vectors), and the axon backend pays minutes
+    # of remote compile/load for it per process.  The caller's key
+    # fingerprints the hierarchy; values persist next to the jax cache.
+    if cache_key is not None:
+        got = _eig_cache_load().get(cache_key)
+        if got is not None and len(got) == len(ops):
+            return [(a, b) for a, b in got]
     if extrapolate_above is not None:
         sizes = [int(d.shape[0]) for d in inv_diags]
         comp = [i for i, n in enumerate(sizes) if n <= extrapolate_above]
@@ -165,6 +213,8 @@ def estimate_eigenvalue_ranges(
             it = iter(sub)
             for i in range(len(sizes)):
                 out.append(next(it) if i in set(comp) else (lam_hi, lam_lo))
+            if cache_key is not None:
+                _eig_cache_store(cache_key, out)
             return out
     gen = tuple(b is None for b in b0s)
     bs = tuple(
@@ -206,7 +256,10 @@ def estimate_eigenvalue_ranges(
         outs = run_all(
             tuple(ops), tuple(inv_diags), bs, n_iterations, use_op_dot, gen
         )
-        return [_extremes_from_cg_coefficients(a, b) for a, b in outs]
+        res = [_extremes_from_cg_coefficients(a, b) for a, b in outs]
+        if cache_key is not None:
+            _eig_cache_store(cache_key, res)
+        return res
 
     @partial(jax.jit, static_argnames=("use_op_dot", "gen"))
     def init_all(ops, inv_diags, bs, use_op_dot, gen):
@@ -252,6 +305,8 @@ def estimate_eigenvalue_ranges(
         alphas = np.asarray([float(a) for a, _ in h])
         betas = np.asarray([float(b_) for _, b_ in h])
         results.append(_extremes_from_cg_coefficients(alphas, betas))
+    if cache_key is not None:
+        _eig_cache_store(cache_key, results)
     return results
 
 

@@ -495,6 +495,14 @@ def build_local_smoothing_mg_hybrid(
         extrapolate_above=(
             2_000_000 if jax.default_backend() != "cpu" else None
         ),
+        cache_key=__import__("dealii_multigrid_tpu.api", fromlist=["_eig_cache_key"])._eig_cache_key(
+            "ls",
+            [d.mesh for d in host_dofhs[1:]],
+            [d.degree for d in host_dofhs[1:]],
+            [f.n_slots for f in host_fmts[1:]],
+            mg_data.smoother.eig_cg_n_iterations if mg_data else 20,
+            dtype,
+        ),
     )
     smoothers = [None]
     for lv, rg in zip(levels[1:], ranges):
