@@ -248,3 +248,40 @@ def test_sharded_ls_matches_single_device():
 
     rel = dryrun_sharded_ls_solve(8, n_ref=4, degree=2)
     assert rel < 1e-8
+
+
+def test_sharded_hpmg_local_solves():
+    """HPMG-local (p-levels chained above local smoothing) through the
+    production api with n_shards=8: converged with bounded iterations and
+    consistent with the unsharded solve."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from dealii_multigrid_tpu.utils.params import RunParameters
+
+    def solve(n_shards):
+        p = RunParameters()
+        p.type = "HPMG-local"
+        p.geometry_type = "quadrant"
+        p.n_ref_global = 3
+        p.fe_degree_fine = 2
+        p.number_type = "double"
+        p.mg_number_type = "double"
+        p.mg_data.coarse_solver.type = "amg"
+        p.mg_data.smoother.degree = 3
+        p.mg_data.n_repetitions = 1
+        p.n_shards = n_shards
+        mesh = G.create_quadrant(3, 3)
+        res, prob, lvls = api.solve_with_local_smoothing_hybrid(p, mesh)
+        return np.asarray(res.x), res.n_iterations, res.converged
+
+    prev = jax.config.jax_enable_x64
+    jax.config.update("jax_enable_x64", True)
+    try:
+        x1, it1, c1 = solve(1)
+        x8, it8, c8 = solve(8)
+    finally:
+        jax.config.update("jax_enable_x64", prev)
+    assert c1 and c8
+    rel = np.linalg.norm(x8 - x1) / max(np.linalg.norm(x1), 1e-300)
+    assert rel < 1e-8, rel
+    assert abs(it8 - it1) <= 1
