@@ -108,13 +108,27 @@ def main() -> int:
         ]
 
         table = ConvergenceTable()
-        done, skipped_budget = [], []
+        done, skipped_budget, failed = [], [], []
         for c, p in todo:
             if time.time() - t0 > args.budget_s and done:
                 skipped_budget.append(os.path.basename(c))
                 continue
             t_cfg = time.time()
-            cli.run_config(p, table)
+            n_rows = len(table.rows)
+            try:
+                cli.run_config(p, table)
+            except Exception as exc:  # noqa: BLE001 - crash-safe sweep:
+                # record the failure (e.g. HBM OOM at the largest LS config)
+                # and keep the remaining configs running
+                del table.rows[n_rows:]  # drop the partial row
+                failed.append(
+                    f"{os.path.basename(c)}: {type(exc).__name__}: {exc}"
+                )
+                print(
+                    f"FAILED {os.path.basename(c)}: {type(exc).__name__}: {exc}",
+                    file=sys.stderr,
+                )
+                continue
             done.append((os.path.basename(c), time.time() - t_cfg))
             buf = io.StringIO()
             table.write_text(buf)
@@ -133,6 +147,8 @@ def main() -> int:
             if skipped_budget:
                 f.write(f"# SKIPPED (budget {args.budget_s:.0f} s exhausted): "
                         f"{', '.join(skipped_budget)}\n")
+            for msg in failed:
+                f.write(f"# FAILED {msg}\n")
     print(f"results written to {out_path}")
     return 0
 
