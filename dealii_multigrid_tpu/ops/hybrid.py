@@ -100,6 +100,12 @@ class HybridFormat:
     irr_out_slots: np.ndarray    # [W] slots to overwrite
     irr_out_group: np.ndarray    # [W] group index per overwrite target
     n_shards: int = 1
+    # patch<->singleton conforming interfaces, per (geometric axis g, patch
+    # face side): entry 2g+side_p is None or (pidx, b1, b2, sidx) — the
+    # singleton sidx's (g, 1-side_p) face coincides with the n1 x n1 subblock
+    # of patch pidx's (g, side_p) face plane at block coords (b1, b2)
+    cross_faces: tuple = ()
+    use_cross: bool = False
 
     @property
     def n_patches(self) -> int:
@@ -261,6 +267,10 @@ def repartition_format(
     irr_out_slots = (
         perm[fmt.irr_out_slots] if fmt.irr_out_slots.size else fmt.irr_out_slots
     )
+    cross_faces = tuple(
+        None if t is None else (new_p[t[0]], t[1], t[2], new_s[t[3]])
+        for t in fmt.cross_faces
+    )
 
     return HybridFormat(
         dofh=fmt.dofh,
@@ -281,6 +291,8 @@ def repartition_format(
         irr_out_slots=irr_out_slots,
         irr_out_group=fmt.irr_out_group,
         n_shards=D,
+        cross_faces=cross_faces,
+        use_cross=fmt.use_cross,
     )
 
 
@@ -398,6 +410,145 @@ def _simulate_sweeps(raw: np.ndarray, nbr: np.ndarray, S: int) -> np.ndarray:
         up[tuple(sl0)] += add_lo
         up[tuple(slS)] += add_hi
     return up
+
+
+def _build_cross_tables(mesh, p_cells, single_cells, K: int):
+    """Patch<->singleton conforming-interface tables (see HybridFormat).
+
+    Every singleton whose same-level face neighbour is patch-covered meets
+    that patch on an n1 x n1 subblock of the patch's boundary face plane (a
+    complete K^3 block has no interior cell exposed), so the interface is a
+    dense block grid — the input to the structured cross exchange."""
+    NP = p_cells.shape[0] if p_cells.ndim == 2 else 0
+    NS = len(single_cells)
+    out = [None] * 6
+    if not (NP and NS):
+        return tuple(out)
+    n_cells = mesh.n_cells
+    parr = np.full(n_cells, -1, np.int64)
+    lloc3 = np.zeros((n_cells, 3), np.int16)
+    flat = p_cells.reshape(-1)
+    parr[flat] = np.repeat(np.arange(NP, dtype=np.int64), K**3)
+    f = np.tile(np.arange(K**3, dtype=np.int64), NP)
+    lloc3[flat, 0] = f % K
+    lloc3[flat, 1] = (f // K) % K
+    lloc3[flat, 2] = f // (K * K)
+    find = _active_lookup_cache(mesh)
+    A = mesh.anchor[single_cells]
+    L = mesh.level[single_cells]
+    acc = [[] for _ in range(6)]
+    for l in np.unique(L):
+        jsel = np.nonzero(L == l)[0]
+        lim = 1 << int(l)
+        for g in range(3):
+            for sside in (0, 1):
+                na = A[jsel].copy()
+                na[:, g] += 1 if sside else -1
+                ok = (na[:, g] >= 0) & (na[:, g] < lim)
+                if not ok.any():
+                    continue
+                js, naq = jsel[ok], na[ok]
+                cand = find(l, naq)
+                hit = (
+                    (mesh.level[cand] == l)
+                    & (mesh.anchor[cand] == naq).all(axis=1)
+                    & (parr[cand] >= 0)
+                )
+                if not hit.any():
+                    continue
+                cand, js = cand[hit], js[hit]
+                side_p = 1 - sside
+                oth = [e for e in range(3) if e != g]
+                acc[2 * g + side_p].append(
+                    (
+                        parr[cand],
+                        lloc3[cand, oth[0]].astype(np.int64),
+                        lloc3[cand, oth[1]].astype(np.int64),
+                        js.astype(np.int64),
+                    )
+                )
+    for k in range(6):
+        if acc[k]:
+            out[k] = tuple(np.concatenate(cols) for cols in zip(*acc[k]))
+    return tuple(out)
+
+
+def _sim_sub_assemble(sp, pidx, b1, b2, NP, K, n1, p):
+    """[m, n1, n1] singleton planes -> dense [NP, S, S] overlap-added patch
+    face contribution (integer-exact host mirror of the device E-GEMMs)."""
+    S = K * p + 1
+    grid = np.zeros((NP, K, K, n1, n1), dtype=sp.dtype)
+    grid[pidx, b1, b2] = sp
+    Z = np.zeros((NP, S, S), dtype=sp.dtype)
+    for i in range(n1):
+        for j in range(n1):
+            Z[:, i : i + (K - 1) * p + 1 : p, j : j + (K - 1) * p + 1 : p] += grid[
+                :, :, :, i, j
+            ]
+    return Z
+
+
+def _sim_sub_extract(ppre, pidx, b1, b2, n1, p):
+    """[m, n1, n1] subblocks of patch face planes at block coords (b1, b2)."""
+    ii = np.arange(n1)
+    return ppre[
+        pidx[:, None, None],
+        b1[:, None, None] * p + ii[None, :, None],
+        b2[:, None, None] * p + ii[None, None, :],
+    ]
+
+
+def _simulate_full(raw_p, raw_s, nbr, nbr_s, cross, S, n1, K, use_ssweep):
+    """Exact host mirror of the INTERLEAVED device exchange (patch sweeps +
+    singleton sweeps + patch<->singleton cross terms, one geometric axis at a
+    time, all adds within an axis reading pre-axis values)."""
+    up = raw_p.copy()
+    us = raw_s.copy()
+    NP = up.shape[0]
+    p = n1 - 1
+
+    def bplane(arr, idx, sl):
+        src = arr[np.maximum(idx, 0)][(slice(None),) + sl[1:]]
+        return src * (idx >= 0).reshape((-1,) + (1,) * (src.ndim - 1))
+
+    for g in range(3):
+        sax = 3 - g
+        psl_lo = _face_slicer(S, g, 0)
+        psl_hi = _face_slicer(S, g, 1)
+        ssl_lo = [slice(None)] * 4
+        ssl_lo[sax] = 0
+        ssl_hi = [slice(None)] * 4
+        ssl_hi[sax] = n1 - 1
+        ssl_lo, ssl_hi = tuple(ssl_lo), tuple(ssl_hi)
+        p_lo, p_hi = up[psl_lo], up[psl_hi]
+        s_lo, s_hi = us[ssl_lo], us[ssl_hi]
+        add_plo = bplane(up, nbr[2 * g], psl_hi)
+        add_phi = bplane(up, nbr[2 * g + 1], psl_lo)
+        if use_ssweep:
+            add_slo = bplane(us, nbr_s[2 * g], ssl_hi)
+            add_shi = bplane(us, nbr_s[2 * g + 1], ssl_lo)
+        else:
+            add_slo = np.zeros_like(s_lo)
+            add_shi = np.zeros_like(s_hi)
+        for side_p, ppre, spre in ((0, p_lo, s_hi), (1, p_hi, s_lo)):
+            tbl = cross[2 * g + side_p]
+            if tbl is None:
+                continue
+            pidx, b1, b2, sidx = tbl
+            sp = spre[sidx].transpose(0, 2, 1)
+            Z = _sim_sub_assemble(sp, pidx, b1, b2, NP, K, n1, p)
+            sub = _sim_sub_extract(ppre, pidx, b1, b2, n1, p).transpose(0, 2, 1)
+            if side_p == 0:
+                add_plo = add_plo + Z
+                np.add.at(add_shi, sidx, sub)
+            else:
+                add_phi = add_phi + Z
+                np.add.at(add_slo, sidx, sub)
+        up[psl_lo] += add_plo
+        up[psl_hi] += add_phi
+        us[ssl_lo] += add_slo
+        us[ssl_hi] += add_shi
+    return up, us
 
 
 def build_hybrid_format(
@@ -531,6 +682,40 @@ def build_hybrid_format(
         if saved * 4 > 10 * NS:
             use_singleton_sweeps = True
             dof_regular = reg_with
+    # patch<->singleton cross exchange: resolves the conforming interface
+    # dofs between the two buckets (the dominant irregular population at mid
+    # levels) with dense per-face assembly GEMMs instead of element scatters
+    use_cross = False
+    cross_faces = (None,) * 6
+    if NP and NS:
+        cross_faces = _build_cross_tables(mesh, p_cells, single_cells, K)
+        m_total = sum(len(t[0]) for t in cross_faces if t is not None)
+        if m_total:
+            n1 = p + 1
+            up_c, us_c = _simulate_full(
+                raw[: NP * S**3].reshape(NP, S, S, S),
+                raw[NP * S**3 :].reshape(NS, n1, n1, n1),
+                nbr,
+                nbr_s,
+                cross_faces,
+                S,
+                n1,
+                K,
+                True,
+            )
+            swept3 = raw.copy()
+            swept3[: NP * S**3] = up_c.reshape(-1)
+            swept3[NP * S**3 :] = us_c.reshape(-1)
+            reg_c = classify(swept3)
+            saved_c = int(reg_c.sum() - dof_regular.sum())
+            # the cross machinery is ~4 block-row ops per interface pair;
+            # each saved dof removes ~2-3 element-priced irregular slots
+            if saved_c * 4 > 3 * m_total:
+                use_cross = True
+                use_singleton_sweeps = True
+                dof_regular = reg_c
+        if not use_cross:
+            cross_faces = (None,) * 6
     irr_dofs = np.nonzero(~dof_regular)[0]
 
     # irregular groups: all slots of each irregular dof
@@ -574,6 +759,8 @@ def build_hybrid_format(
         irr_slots=irr_slots,
         irr_out_slots=irr_out_slots,
         irr_out_group=irr_out_group,
+        cross_faces=cross_faces,
+        use_cross=use_cross,
     )
 
 
@@ -661,6 +848,12 @@ class HybridOperator:
     # flat tables — their lane-hostile [NS, p+1, ...] lattice makes sliced
     # writebacks slower than element scatters (measured).
     sf_patch_rows: tuple           # per level: tuple of fidx arrays
+    # per-(d, side) singleton row groups, concat order == the combined
+    # sf_single tables: the [NS, z, y, x] lattice gives contiguous rows for
+    # geometric d=2 (width n1^2) and d=1 (width n1) faces, so their apply_c
+    # writebacks are block-row scatter-SETs (~free) and their ct_faces reads
+    # are slice + row-gather (pattern A2); only d=0 faces stay element-priced
+    sf_single_rows: tuple          # per level: tuple of sidx arrays
     # static
     use_ssweep: bool
     NP: int
@@ -672,7 +865,17 @@ class HybridOperator:
     n_shards: int = 1
     sf_levels: tuple = ()          # fine levels with structured faces (meta)
     sf_patch_rows_meta: tuple = () # per level: tuple of (d, side, count)
+    sf_single_rows_meta: tuple = ()  # per level: tuple of (d, side, count)
     sf_Eh: jax.Array | None = None  # [2, n1, n1] per-parity h-embedding
+    # patch<->singleton cross exchange (active when use_cross): entry
+    # 2g+side_p is None or (ppos [m] = pidx*K^2 + b1*K + b2, sidx [m]).
+    # Easm [S, K*n1] is the 0/1 overlap-assembly matrix
+    # (Easm[b*p+i, b*n1+i] = 1): singleton face planes assemble onto a patch
+    # face as Z = Easm @ grid @ Easm^T, and the reverse extraction is the
+    # transpose — dense GEMMs instead of element-priced irregular scatters
+    cross: tuple = ()
+    Easm: jax.Array | None = None
+    use_cross: bool = False
 
     @property
     def dtype(self):
@@ -718,12 +921,22 @@ class HybridOperator:
             x = x.at[self.slave_all_slots].set(vals[self.slave_all_src].astype(x.dtype))
         if self.sf_levels:
             E1 = self.sf_E1.astype(x.dtype)
+            S, n1 = self.S, self._n1
             # fine levels ASCENDING with a flush per level resolves constraint
             # chains (a coarse source plane may itself be the fine side of a
-            # deeper hanging interface); within a level, everything is one
-            # gather + GEMMs + one combined scatter
+            # deeper hanging interface).  Within a level: all plane values are
+            # computed from the pre-write x (level-l faces and their level-(l-1)
+            # sources live on disjoint cells), then written back.  Faces whose
+            # lattice orientation gives contiguous rows (patch d=0/d=1, single
+            # d=2/d=1) are block-row scatter-SETs on the bucket row views
+            # (~free, microbench B2); only the stride-hostile orientation
+            # keeps the element-priced flat-slot scatter.  Duplicate slots
+            # (patch edges on two covered faces) receive equal values, so the
+            # write order across the paths is irrelevant.
             for i, _lev in enumerate(self.sf_levels):
                 idxs, vals_ = [], []
+                prow2, prow3 = [], []   # patch-view rows: (rows, vals)
+                srow2, srow3 = [], []   # single-view rows
                 if self.sf_patch[i] is not None:
                     face, src, _m = self.sf_patch[i]
                     sv = x[src]                             # [n, sub, sub]
@@ -732,8 +945,23 @@ class HybridOperator:
                         jnp.einsum("nst,jt->nsj", sv, E1, precision=HIGHEST),
                         E1, precision=HIGHEST,
                     )
-                    idxs.append(face.reshape(-1))
-                    vals_.append(plane.reshape(-1))
+                    off = 0
+                    for fidx, (d, side, cnt) in zip(
+                        self.sf_patch_rows[i], self.sf_patch_rows_meta[i]
+                    ):
+                        pg = plane[off : off + cnt]
+                        pos = (S - 1) if side else 0
+                        if d == 0:
+                            prow2.append((fidx * S + pos, pg.reshape(cnt, S * S)))
+                        elif d == 1:
+                            r = (
+                                fidx[:, None] * S + jnp.arange(S, dtype=fidx.dtype)
+                            ) * S + pos
+                            prow3.append((r.reshape(-1), pg.reshape(cnt * S, S)))
+                        else:
+                            idxs.append(face[off : off + cnt].reshape(-1))
+                            vals_.append(pg.reshape(-1))
+                        off += cnt
                 if self.sf_single[i] is not None:
                     face, src, _m, pa, pb = self.sf_single[i]
                     Ea = self.sf_Eh[pa].astype(x.dtype)     # [n, n1, n1]
@@ -741,12 +969,62 @@ class HybridOperator:
                     sv = x[src]                             # [n, n1, n1]
                     tmp = jnp.einsum("nmk,njk->nmj", sv, Eb, precision=HIGHEST)
                     plane = jnp.einsum("nmj,nim->nij", tmp, Ea, precision=HIGHEST)
-                    idxs.append(face.reshape(-1))
-                    vals_.append(plane.reshape(-1))
-                # duplicate indices (slots on two covered faces) receive equal
-                # values, so an unordered scatter-set is well-defined
+                    off = 0
+                    for sidx, (d, side, cnt) in zip(
+                        self.sf_single_rows[i], self.sf_single_rows_meta[i]
+                    ):
+                        pg = plane[off : off + cnt]
+                        pos = (n1 - 1) if side else 0
+                        if d == 2:      # geometric z = lattice axis 1
+                            srow2.append((sidx * n1 + pos, pg.reshape(cnt, n1 * n1)))
+                        elif d == 1:    # geometric y = lattice axis 2
+                            r = (
+                                sidx[:, None] * n1
+                                + jnp.arange(n1, dtype=sidx.dtype)
+                            ) * n1 + pos
+                            srow3.append((r.reshape(-1), pg.reshape(cnt * n1, n1)))
+                        else:           # geometric x = fastest axis: no rows
+                            idxs.append(face[off : off + cnt].reshape(-1))
+                            vals_.append(pg.reshape(-1))
+                        off += cnt
+                if prow2 or prow3:
+                    up = self._patches(x)
+                    if prow2:
+                        v2 = up.reshape(self.NP * S, S * S)
+                        rows = jnp.concatenate([r for r, _ in prow2])
+                        v2 = v2.at[rows].set(
+                            jnp.concatenate([v for _, v in prow2]).astype(x.dtype)
+                        )
+                        up = v2.reshape(self.NP, S, S, S)
+                    if prow3:
+                        v3 = up.reshape(self.NP * S * S, S)
+                        rows = jnp.concatenate([r for r, _ in prow3])
+                        v3 = v3.at[rows].set(
+                            jnp.concatenate([v for _, v in prow3]).astype(x.dtype)
+                        )
+                        up = v3.reshape(self.NP, S, S, S)
+                    x = self._with_patches(x, up)
+                if srow2 or srow3:
+                    us = self._singles(x)
+                    if srow2:
+                        w2 = us.reshape(self.NS * n1, n1 * n1)
+                        rows = jnp.concatenate([r for r, _ in srow2])
+                        w2 = w2.at[rows].set(
+                            jnp.concatenate([v for _, v in srow2]).astype(x.dtype)
+                        )
+                        us = w2.reshape(self.NS, self.nloc)
+                    if srow3:
+                        w3 = us.reshape(self.NS * n1 * n1, n1)
+                        rows = jnp.concatenate([r for r, _ in srow3])
+                        w3 = w3.at[rows].set(
+                            jnp.concatenate([v for _, v in srow3]).astype(x.dtype)
+                        )
+                        us = w3.reshape(self.NS, self.nloc)
+                    x = self._with_singles(x, us)
                 if idxs:
-                    x = x.at[jnp.concatenate(idxs)].set(jnp.concatenate(vals_))
+                    x = x.at[jnp.concatenate(idxs)].set(
+                        jnp.concatenate(vals_).astype(x.dtype)
+                    )
             x = x * self.dirichlet_keep
         return x
 
@@ -783,7 +1061,19 @@ class HybridOperator:
                 face, src, mask, pa, pb = self.sf_single[i]
                 Ea = self.sf_Eh[pa].astype(r.dtype)
                 Eb = self.sf_Eh[pb].astype(r.dtype)
-                plane = r[face] * mask.astype(r.dtype)
+                # read singleton face planes via axis slice + block-row gather
+                # on the [NS, z, y, x] lattice (pattern A2); group concat
+                # order matches the combined mask/src tables
+                n1 = self._n1
+                us = self._singles(r).reshape(self.NS, n1, n1, n1)
+                plane = jnp.concatenate(
+                    [
+                        us[_single_face_slicer(n1, d, side)][sidx]
+                        for sidx, (d, side, _c) in zip(
+                            self.sf_single_rows[i], self.sf_single_rows_meta[i]
+                        )
+                    ]
+                ) * mask.astype(r.dtype)
                 tmp = jnp.einsum("nij,nim->nmj", plane, Ea, precision=HIGHEST)
                 contrib = jnp.einsum("nmj,njk->nmk", tmp, Eb, precision=HIGHEST)
                 idxs.append(src.reshape(-1))
@@ -800,6 +1090,74 @@ class HybridOperator:
             if self.refresh_slots.shape[0]:
                 r = r.at[self.refresh_slots].set(r[self.refresh_src])
         return r * self.dirichlet_keep
+
+    @property
+    def _K(self) -> int:
+        return (self.S - 1) // max(self._n1 - 1, 1)
+
+    def _exchange_cross(self, r: jax.Array) -> jax.Array:
+        """Interleaved structured exchange: per geometric axis, patch sweeps,
+        singleton sweeps AND patch<->singleton cross terms, all adds within an
+        axis reading pre-axis values (host mirror: _simulate_full)."""
+        S, n1 = self.S, self._n1
+        K = self._K
+        NP, NS = self.NP, self.NS
+        E = self.Easm.astype(r.dtype)
+        up = self._patches(r)
+        us = self._singles(r).reshape(NS, n1, n1, n1)
+        b3 = (-1, 1, 1)
+        for g in range(3):
+            sax = 3 - g
+            psl_lo = _face_slicer(S, g, 0)
+            psl_hi = _face_slicer(S, g, 1)
+            ssl_lo = [slice(None)] * 4
+            ssl_lo[sax] = 0
+            ssl_hi = [slice(None)] * 4
+            ssl_hi[sax] = n1 - 1
+            ssl_lo, ssl_hi = tuple(ssl_lo), tuple(ssl_hi)
+            p_lo, p_hi = up[psl_lo], up[psl_hi]
+            s_lo, s_hi = us[ssl_lo], us[ssl_hi]
+            add_plo = p_hi[self.nbr[2 * g]] * self.nbr_mask[2 * g].reshape(b3)
+            add_phi = p_lo[self.nbr[2 * g + 1]] * self.nbr_mask[2 * g + 1].reshape(b3)
+            ds = 2 - g  # snbr tables are lattice-axis ([z, y, x]) ordered
+            add_slo = s_hi[self.snbr[2 * ds]] * self.snbr_mask[2 * ds].reshape(b3)
+            add_shi = s_lo[self.snbr[2 * ds + 1]] * self.snbr_mask[2 * ds + 1].reshape(b3)
+            for side_p in (0, 1):
+                tbl = self.cross[2 * g + side_p]
+                if tbl is None:
+                    continue
+                ppos, sidx = tbl
+                ppre, spre = (p_lo, s_hi) if side_p == 0 else (p_hi, s_lo)
+                # singleton planes [m, n1, n1] -> dense patch-face grid ->
+                # overlap-assembled [NP, S, S] via two tiny GEMMs
+                sp = spre[sidx].transpose(0, 2, 1)
+                grid = jnp.zeros((NP * K * K, n1, n1), r.dtype).at[ppos].set(sp)
+                Gm = (
+                    grid.reshape(NP, K, K, n1, n1)
+                    .transpose(0, 1, 3, 2, 4)
+                    .reshape(NP, K * n1, K * n1)
+                )
+                Z = jnp.einsum("su,puv,tv->pst", E, Gm, E, precision=HIGHEST)
+                # reverse: extract the n1 x n1 subblocks of the patch face
+                Gi = jnp.einsum("su,pst,tv->puv", E, ppre, E, precision=HIGHEST)
+                sub = (
+                    Gi.reshape(NP, K, n1, K, n1)
+                    .transpose(0, 1, 3, 2, 4)
+                    .reshape(NP * K * K, n1, n1)[ppos]
+                )
+                subT = sub.transpose(0, 2, 1)
+                if side_p == 0:
+                    add_plo = add_plo + Z
+                    add_shi = add_shi.at[sidx].add(subT)
+                else:
+                    add_phi = add_phi + Z
+                    add_slo = add_slo.at[sidx].add(subT)
+            up = up.at[psl_lo].add(add_plo)
+            up = up.at[psl_hi].add(add_phi)
+            us = us.at[ssl_lo].add(add_slo)
+            us = us.at[ssl_hi].add(add_shi)
+        r = self._with_patches(r, up)
+        return self._with_singles(r, us.reshape(NS, self.nloc))
 
     # --------------------------------------------------------------- exchange
     def exchange(self, r: jax.Array) -> jax.Array:
@@ -831,14 +1189,17 @@ class HybridOperator:
                 up = up.at[tuple(sl_top)].add(add_hi)
             return up
 
-        if self.NP:
-            up = sweeps(self._patches(r), self.nbr, self.nbr_mask, self.S)
-            r = self._with_patches(r, up)
-        if self.NS and self.use_ssweep:
-            n1 = self._n1
-            us = self._singles(r).reshape(self.NS, n1, n1, n1)
-            us = sweeps(us, self.snbr, self.snbr_mask, n1)
-            r = self._with_singles(r, us)
+        if self.use_cross:
+            r = self._exchange_cross(r)
+        else:
+            if self.NP:
+                up = sweeps(self._patches(r), self.nbr, self.nbr_mask, self.S)
+                r = self._with_patches(r, up)
+            if self.NS and self.use_ssweep:
+                n1 = self._n1
+                us = self._singles(r).reshape(self.NS, n1, n1, n1)
+                us = sweeps(us, self.snbr, self.snbr_mask, n1)
+                r = self._with_singles(r, us)
         for (slots, out_slots, out_group), s in zip(self.irr_buckets, sums):
             r = r.at[out_slots].set(s[out_group].astype(r.dtype))
         return r
@@ -886,10 +1247,10 @@ jax.tree_util.register_dataclass(
         "slave_master_slots", "slave_w",
         "slave_all_slots", "slave_all_src", "slave_rep",
         "ct_target", "ct_src", "ct_w", "refresh_slots", "refresh_src", "owner",
-        "sf_patch", "sf_single", "sf_patch_rows", "sf_E1", "sf_slave_keep",
-        "sf_Eh",
+        "sf_patch", "sf_single", "sf_patch_rows", "sf_single_rows", "sf_E1",
+        "sf_slave_keep", "sf_Eh", "cross", "Easm",
     ],
-    meta_fields=["sf_levels", "sf_patch_rows_meta", "use_ssweep", "NP", "NS", "S", "nloc", "n_slots", "n_dofs", "n_shards"],
+    meta_fields=["sf_levels", "sf_patch_rows_meta", "sf_single_rows_meta", "use_ssweep", "use_cross", "NP", "NS", "S", "nloc", "n_slots", "n_dofs", "n_shards"],
 )
 
 
@@ -967,6 +1328,7 @@ def make_hybrid_operator(
     sf_levels = sorted({b[0] for b in sf_raw} | {b[0] for b in ssf_raw})
     sf_patch, sf_single = [], []
     sf_patch_rows, sf_patch_rows_meta = [], []
+    sf_single_rows, sf_single_rows_meta = [], []
     for lev in sf_levels:
         faces, srcs, masks = [], [], []
         rows, rows_meta = [], []
@@ -991,6 +1353,7 @@ def make_hybrid_operator(
         sf_patch_rows.append(tuple(rows))
         sf_patch_rows_meta.append(tuple(rows_meta))
         faces, srcs, masks, pas, pbs = [], [], [], [], []
+        srows, srows_meta = [], []
         for l, d, side, pa, pb, sidx, src_slots in ssf_raw:
             if l != lev:
                 continue
@@ -1000,6 +1363,10 @@ def make_hybrid_operator(
             masks.append(ct_mask(fs))
             pas.append(np.full(len(sidx), pa, np.int64))
             pbs.append(np.full(len(sidx), pb, np.int64))
+            srows.append(to_device(sidx, jnp.int32))
+            srows_meta.append((d, side, len(sidx)))
+        sf_single_rows.append(tuple(srows))
+        sf_single_rows_meta.append(tuple(srows_meta))
         sf_single.append(
             (
                 to_device(np.concatenate(faces), jnp.int32),
@@ -1088,6 +1455,22 @@ def make_hybrid_operator(
             )
     Kc = max(hang.masters.shape[1], 1)
 
+    # patch<->singleton cross-exchange device tables + assembly matrix
+    n1p = p + 1
+    cross_dev = []
+    for t in fmt.cross_faces or (None,) * 6:
+        if t is None:
+            cross_dev.append(None)
+        else:
+            pidx, b1, b2, sidx = t
+            ppos = pidx * fmt.K * fmt.K + b1 * fmt.K + b2
+            cross_dev.append(
+                (to_device(ppos, jnp.int32), to_device(sidx, jnp.int32))
+            )
+    Easm = np.zeros((S, fmt.K * n1p))
+    for b in range(fmt.K):
+        Easm[b * p : b * p + n1p, b * n1p : b * n1p + n1p] = np.eye(n1p)
+
     return HybridOperator(
         KS=to_device(KS, dtype),
         MS=to_device(MS, dtype),
@@ -1125,10 +1508,15 @@ def make_hybrid_operator(
         sf_single=tuple(sf_single),
         sf_patch_rows=tuple(sf_patch_rows),
         sf_patch_rows_meta=tuple(sf_patch_rows_meta),
+        sf_single_rows=tuple(sf_single_rows),
+        sf_single_rows_meta=tuple(sf_single_rows_meta),
         sf_levels=tuple(int(l) for l in sf_levels),
         sf_E1=to_device(E1, dtype),
         sf_slave_keep=to_device(sf_slave_keep, dtype),
         sf_Eh=to_device(np.stack([Eh[0], Eh[1]]), dtype),
+        cross=tuple(cross_dev),
+        Easm=to_device(Easm, dtype),
+        use_cross=fmt.use_cross,
         NP=fmt.n_patches,
         NS=fmt.n_singles,
         S=fmt.S,

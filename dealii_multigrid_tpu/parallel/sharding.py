@@ -158,9 +158,12 @@ def place_hybrid_op(op, dmesh: Mesh):
         sf_patch=rep_tree(op.sf_patch),
         sf_single=rep_tree(op.sf_single),
         sf_patch_rows=rep_tree(op.sf_patch_rows),
+        sf_single_rows=rep_tree(op.sf_single_rows),
         sf_E1=put(op.sf_E1, rep),
         sf_slave_keep=put(op.sf_slave_keep, sh1),
         sf_Eh=put(op.sf_Eh, rep) if op.sf_Eh is not None else None,
+        cross=rep_tree(op.cross),
+        Easm=put(op.Easm, rep) if op.Easm is not None else None,
     )
 
 

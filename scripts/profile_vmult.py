@@ -87,13 +87,91 @@ def main():
             v = v.at[out_slots].set(s[out_group].astype(v.dtype))
         return v
 
+    def psweep_only(o, v):
+        if not o.NP:
+            return v
+        import dealii_multigrid_tpu.ops.hybrid as hy
+
+        up = o._patches(v)
+        for d in range(3):
+            axis = d + 1
+            lo_n, hi_n = o.nbr[2 * d], o.nbr[2 * d + 1]
+            lo_m, hi_m = o.nbr_mask[2 * d], o.nbr_mask[2 * d + 1]
+            sl_top = [slice(None)] * 4
+            sl_top[axis] = o.S - 1
+            sl_bot = [slice(None)] * 4
+            sl_bot[axis] = 0
+            bshape = (-1,) + (1,) * 2
+            top = up[tuple(sl_top)]
+            bot = up[tuple(sl_bot)]
+            up = up.at[tuple(sl_bot)].add(top[lo_n] * lo_m.reshape(bshape))
+            up = up.at[tuple(sl_top)].add(bot[hi_n] * hi_m.reshape(bshape))
+        return o._with_patches(v, up)
+
+    def ssweep_only(o, v):
+        if not (o.NS and o.use_ssweep):
+            return v
+        n1 = o._n1
+        us = o._singles(v).reshape(o.NS, n1, n1, n1)
+        for d in range(3):
+            axis = d + 1
+            lo_n, hi_n = o.snbr[2 * d], o.snbr[2 * d + 1]
+            lo_m, hi_m = o.snbr_mask[2 * d], o.snbr_mask[2 * d + 1]
+            sl_top = [slice(None)] * 4
+            sl_top[axis] = n1 - 1
+            sl_bot = [slice(None)] * 4
+            sl_bot[axis] = 0
+            bshape = (-1,) + (1,) * 2
+            top = us[tuple(sl_top)]
+            bot = us[tuple(sl_bot)]
+            us = us.at[tuple(sl_bot)].add(top[lo_n] * lo_m.reshape(bshape))
+            us = us.at[tuple(sl_top)].add(bot[hi_n] * hi_m.reshape(bshape))
+        return o._with_singles(v, us)
+
+    def _sf_part(o, v, which):
+        """apply_c with only the patch ('p') or singleton ('s') face tables."""
+        import jax.numpy as jnp
+        from jax.lax import Precision
+
+        HIGHEST = Precision.HIGHEST
+        E1 = o.sf_E1.astype(v.dtype)
+        x = v
+        for i, _lev in enumerate(o.sf_levels):
+            idxs, vals_ = [], []
+            if which == "p" and o.sf_patch[i] is not None:
+                face, src, _m = o.sf_patch[i]
+                sv = x[src]
+                plane = jnp.einsum(
+                    "nsj,is->nij",
+                    jnp.einsum("nst,jt->nsj", sv, E1, precision=HIGHEST),
+                    E1, precision=HIGHEST,
+                )
+                idxs.append(face.reshape(-1))
+                vals_.append(plane.reshape(-1))
+            if which == "s" and o.sf_single[i] is not None:
+                face, src, _m, pa, pb = o.sf_single[i]
+                Ea = o.sf_Eh[pa].astype(x.dtype)
+                Eb = o.sf_Eh[pb].astype(x.dtype)
+                sv = x[src]
+                tmp = jnp.einsum("nmk,njk->nmj", sv, Eb, precision=HIGHEST)
+                plane = jnp.einsum("nmj,nim->nij", tmp, Ea, precision=HIGHEST)
+                idxs.append(face.reshape(-1))
+                vals_.append(plane.reshape(-1))
+            if idxs:
+                x = x.at[jnp.concatenate(idxs)].set(jnp.concatenate(vals_))
+        return x
+
     comps = [
         ("vmult", lambda o, v: o.vmult(v)),
         ("cell_apply_raw", lambda o, v: o.cell_apply_raw(v)),
         ("apply_c", lambda o, v: o.apply_c(v)),
+        ("  c_sf_patch", lambda o, v: _sf_part(o, v, "p")),
+        ("  c_sf_single", lambda o, v: _sf_part(o, v, "s")),
         ("apply_ct_faces", lambda o, v: o.apply_ct_faces(v)),
         ("exchange", lambda o, v: o.exchange(v)),
-        ("irr_only", irr_only),
+        ("  psweep_only", psweep_only),
+        ("  ssweep_only", ssweep_only),
+        ("  irr_only", irr_only),
         ("apply_ct", lambda o, v: o.apply_ct(v)),
     ]
     for name, f in comps:
@@ -112,8 +190,19 @@ def main():
             np.random.default_rng(l).standard_normal(lv.op.n_slots), jnp.float32
         )
         t = timeit_looped(lambda o, v: o.vmult(v), lv.op, xl)
+        n_irr_l = sum(int(b[1].shape[0]) for b in lv.op.irr_buckets)
         print(f"  level {l} vmult  {t*1e3:8.3f} ms   n_slots={lv.op.n_slots} "
-              f"NP={lv.op.NP} NS={lv.op.NS}")
+              f"NP={lv.op.NP} NS={lv.op.NS} irr={n_irr_l} ssweep={lv.op.use_ssweep}")
+        if lv.op.n_slots > 100_000:
+            for nm, ff in (("stencil", lambda o, v: o.cell_apply_raw(v)),
+                           ("apply_c", lambda o, v: o.apply_c(v)),
+                           ("ct_faces", lambda o, v: o.apply_ct_faces(v)),
+                           ("exch", lambda o, v: o.exchange(v)),
+                           ("psweep", psweep_only),
+                           ("ssweep", ssweep_only),
+                           ("irr", irr_only)):
+                tt = timeit_looped(ff, lv.op, xl)
+                print(f"      {nm:10s} {tt*1e3:8.3f} ms")
     tr = mg.transfers[-1]
     t1 = timeit_looped(lambda tt, v: tt.restrict(v), tr, x, n_loop=8)
     xc = jnp.asarray(
@@ -144,6 +233,34 @@ def main():
         t = timeit_looped(lambda s, i_: s[i_].sum(-1), src2, idx)
         print(f"  rows={rows:7d} width={width:3d}: {t*1e3:8.3f} ms "
               f"({t/rows*1e9:7.1f} ns/row)")
+    print("block-row scatter-SET ([rows] indices into [N, W] operand):")
+    for rows, width in [(200, 1089), (6_600, 33), (2_000, 25), (16_000, 25)]:
+        src2 = src[: (len(src) // width) * width].reshape(-1, width)
+        idx = jnp.asarray(
+            np.random.default_rng(5).integers(0, src2.shape[0], size=rows), jnp.int32
+        )
+        vals = jnp.ones((rows, width), jnp.float32)
+
+        def rset(s, i_):
+            return s.at[i_].set(vals)
+
+        t = timeit_looped(rset, src2, idx)
+        print(f"  rows={rows:7d} width={width:4d}: {t*1e3:8.3f} ms "
+              f"({t/rows*1e9:7.1f} ns/row, {t/(rows*width)*1e9:6.2f} ns/elem)")
+    print("block-row scatter-ADD ([rows] indices into [N, W] operand):")
+    for rows, width in [(3_400, 33), (2_000, 25)]:
+        src2 = src[: (len(src) // width) * width].reshape(-1, width)
+        idx = jnp.asarray(
+            np.random.default_rng(6).integers(0, src2.shape[0], size=rows), jnp.int32
+        )
+        vals = jnp.ones((rows, width), jnp.float32)
+
+        def radd(s, i_):
+            return s.at[i_].add(vals)
+
+        t = timeit_looped(radd, src2, idx)
+        print(f"  rows={rows:7d} width={width:4d}: {t*1e3:8.3f} ms "
+              f"({t/rows*1e9:7.1f} ns/row, {t/(rows*width)*1e9:6.2f} ns/elem)")
     print("scatter-add microbenchmark:")
     for rows, width in [(400_000, 1), (16_000, 25)]:
         idx = np.random.default_rng(4).integers(0, len(src) - width, size=rows)
