@@ -389,6 +389,12 @@ def run(params: RunParameters):
 def dispatch_solve(params: RunParameters, mesh: AdaptiveMesh):
     """Single dispatch point for all solver types (used by run() and cli.py):
     the reference's type switch (multigrid_throughput.cc:2337-2353)."""
+    from .ops.hybrid import sanitizer_enabled
+
+    if sanitizer_enabled():
+        # routine sanitizer mode (MGTPU_DEBUG=1): NaN provenance on every
+        # jitted program for the whole process
+        jax.config.update("jax_debug_nans", True)
     if params.type in ("PMG", "HMG-global", "HPMG"):
         # the hybrid patch engine is the production path for 3D; 2D runs on
         # the base gather engine
@@ -446,6 +452,8 @@ def build_level_hybrid(
     fmt = _hy.build_hybrid_format(dofh, K=K)
     if n_shards > 1 or cell_shard is not None:
         fmt = _hy.repartition_format(fmt, n_shards, cell_shard)
+    if _hy.sanitizer_enabled():
+        _hy.verify_format(fmt)
     op = _hy.make_hybrid_operator(fmt, hanging, dtype=dtype)
     diag = compute_diagonal(dofh, hanging)
     inv_diag = to_device(fmt.from_global(1.0 / diag), dtype=dtype)

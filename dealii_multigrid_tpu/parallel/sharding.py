@@ -159,6 +159,8 @@ def place_hybrid_op(op, dmesh: Mesh):
         sf_single=rep_tree(op.sf_single),
         sf_patch_rows=rep_tree(op.sf_patch_rows),
         sf_single_rows=rep_tree(op.sf_single_rows),
+        sf_patch_src=rep_tree(op.sf_patch_src),
+        sf_single_src=rep_tree(op.sf_single_src),
         sf_E1=put(op.sf_E1, rep),
         sf_slave_keep=put(op.sf_slave_keep, sh1),
         sf_Eh=put(op.sf_Eh, rep) if op.sf_Eh is not None else None,

@@ -419,6 +419,10 @@ def build_local_smoothing_mg_hybrid(
             D_l = hybrid_level_shard_count(lm.n_cells, n_shards)
             if D_l > 1:
                 fmt = repartition_format(fmt, D_l)
+        from ..ops.hybrid import sanitizer_enabled, verify_format
+
+        if sanitizer_enabled():
+            verify_format(fmt)
         empty = Constraints(
             dofh.n_dofs, np.zeros(0, np.int32), np.zeros((0, 1), np.int32),
             np.zeros((0, 1)),

@@ -97,3 +97,20 @@ def test_hybrid_solve_matches_global_engine():
     assert abs(res_h.n_iterations - res_g.n_iterations) <= 1
     dx = np.abs(np.asarray(res_h.x) - np.asarray(res_g.x)).max()
     assert dx < 1e-4 * np.abs(np.asarray(res_g.x)).max()
+
+
+def test_sanitizer_format_verification(monkeypatch):
+    """MGTPU_DEBUG=1 makes format-invariant checks routine (every level
+    build, not just the dryrun) and catches a broken owner mask."""
+    monkeypatch.setenv("MGTPU_DEBUG", "1")
+    assert H.sanitizer_enabled()
+    m = G.create("quadrant", 3, 3)
+    lv = api.build_level_hybrid(m, 2, jnp.float32)  # runs verify_format
+    H.verify_format(lv.fmt)
+    import dataclasses
+
+    bad = dataclasses.replace(lv.fmt, owner=np.zeros_like(lv.fmt.owner))
+    with pytest.raises(AssertionError, match="owner mask"):
+        H.verify_format(bad)
+    monkeypatch.setenv("MGTPU_DEBUG", "0")
+    assert not H.sanitizer_enabled()
