@@ -840,29 +840,18 @@ class HybridOperator:
     sf_single: tuple
     sf_E1: jax.Array               # [S, sub] 1D h-embedding (patch faces)
     sf_slave_keep: jax.Array       # f [n_slots]: 0 on structured-slave slots
-    # per-(d, side) patch row groups, concat order == the combined sf_patch
-    # tables: PATCH faces are whole axis planes of the lattice, so they are
-    # read/written via axis slice + block-row index (~4 ns/row) instead of
-    # the element-priced flat tables (~7 ns/elem); measured safe in
-    # scripts/microbench_faces.py (patterns A2/B2).  Singleton faces keep the
-    # flat tables — their lane-hostile [NS, p+1, ...] lattice makes sliced
-    # writebacks slower than element scatters (measured).
+    # per-(d, side) row groups, concat order == the combined sf_patch /
+    # sf_single tables: face planes are whole axis planes of the bucket
+    # lattices, so ct_faces READS them via axis slice + block-row gather
+    # (microbench pattern A2, ~free).  WRITES stay on the flat element
+    # tables as ONE combined scatter per level: restructuring them into
+    # per-(axis, side) slice / row-scatter / write-back passes was measured
+    # 4-5x slower in context (ct_faces 1.1 -> 5.1 ms at r=6/p=4, reverted —
+    # DESIGN.md round-3b sliced-write rule).
     sf_patch_rows: tuple           # per level: tuple of fidx arrays
-    # per-(d, side) singleton row groups, concat order == the combined
-    # sf_single tables: the [NS, z, y, x] lattice gives contiguous rows for
-    # geometric d=2 (width n1^2) and d=1 (width n1) faces, so their apply_c
-    # writebacks are block-row scatter-SETs (~free) and their ct_faces reads
-    # are slice + row-gather (pattern A2); only d=0 faces stay element-priced
     sf_single_rows: tuple          # per level: tuple of sidx arrays
-    # block-row SOURCE tables (the coarse side of each structured hanging
-    # face).  The source slots are the parent cells' own face slots, so
-    # reading/writing them through the parent lattice face planes touches
-    # literally the same slots as the flat src tables — no consistency
-    # assumption.  Bucket entries are build-time reordered to match:
-    # per level, per patch bucket: (grid_ps [nS, half^2] parent singleton ids
-    # in (c1, c2) row-major, pidx_quads (4-tuple of coarse-patch ids per
-    # quarter-plane offset), src_m element fallback for mixed regions);
-    # per singleton bucket: (ps [n_sing_parent], src_pp element fallback)
+    # retired block-row source tables (kept as empty tuples for pytree/
+    # sharding compatibility)
     sf_patch_src: tuple
     sf_single_src: tuple
     # static
@@ -925,79 +914,6 @@ class HybridOperator:
         return n1
 
     # ------------------------------------------------------------ constraints
-    def _sf_sources(self, x: jax.Array, i: int):
-        """Assemble the coarse source planes of level-bucket i's structured
-        hanging faces by reading the parent lattices' face planes (slice +
-        block-row gather — the same slots the flat src tables address), with
-        element-gather fallback only for mixed regions / patch-covered
-        singleton parents.  Returns (sv_patch [n, sub, sub] ascending (t1,
-        t2), sv_single [n, n1, n1] descending (t_hi, t_lo)) in combined-table
-        order."""
-        S, n1 = self.S, self._n1
-        K = self._K
-        half, p = K // 2, n1 - 1
-        hp, sub = half * p, half * p + 1
-        usx = up = None
-        sv_p = sv_s = None
-        if self.sf_patch[i] is not None:
-            parts = []
-            for (grid_ps, quads, src_m), (d, side, _cnt) in zip(
-                self.sf_patch_src[i], self.sf_patch_rows_meta[i]
-            ):
-                side_par = 0 if side else 1
-                if grid_ps is not None:
-                    if usx is None:
-                        usx = self._singles(x).reshape(self.NS, n1, n1, n1)
-                    usf = usx[_single_face_slicer(n1, d, side_par)].reshape(
-                        self.NS, n1 * n1
-                    )
-                    nS = grid_ps.shape[0]
-                    tiles = usf[grid_ps.reshape(-1)].reshape(
-                        nS, half * half, n1, n1
-                    ).transpose(0, 1, 3, 2)  # (t_hi, t_lo) -> (t1, t2)
-                    plane = jnp.zeros((nS, sub, sub), x.dtype)
-                    k = 0
-                    for c1 in range(half):
-                        for c2 in range(half):
-                            plane = plane.at[
-                                :, c1 * p : c1 * p + n1, c2 * p : c2 * p + n1
-                            ].set(tiles[:, k])
-                            k += 1
-                    parts.append(plane)
-                for q, (o1, o2) in enumerate(_QUADS):
-                    if quads[q] is not None:
-                        if up is None:
-                            up = self._patches(x)
-                        pf = up[_face_slicer(S, d, side_par)]
-                        subp = pf[
-                            :, o1 * hp : o1 * hp + sub, o2 * hp : o2 * hp + sub
-                        ]
-                        parts.append(
-                            subp.reshape(self.NP, sub * sub)[quads[q]].reshape(
-                                -1, sub, sub
-                            )
-                        )
-                if src_m is not None:
-                    parts.append(x[src_m])
-            sv_p = jnp.concatenate(parts) if len(parts) > 1 else parts[0]
-        if self.sf_single[i] is not None:
-            parts = []
-            for (ps, src_pp), (d, side, _cnt) in zip(
-                self.sf_single_src[i], self.sf_single_rows_meta[i]
-            ):
-                side_par = 0 if side else 1
-                if ps is not None:
-                    if usx is None:
-                        usx = self._singles(x).reshape(self.NS, n1, n1, n1)
-                    usf = usx[_single_face_slicer(n1, d, side_par)]
-                    parts.append(
-                        usf.reshape(self.NS, n1 * n1)[ps].reshape(-1, n1, n1)
-                    )
-                if src_pp is not None:
-                    parts.append(x[src_pp])
-            sv_s = jnp.concatenate(parts) if len(parts) > 1 else parts[0]
-        return sv_p, sv_s
-
     def apply_c(self, x: jax.Array) -> jax.Array:
         x = x * self.dirichlet_keep
         if self.slave_rep.shape[0]:
@@ -1005,111 +921,37 @@ class HybridOperator:
             x = x.at[self.slave_all_slots].set(vals[self.slave_all_src].astype(x.dtype))
         if self.sf_levels:
             E1 = self.sf_E1.astype(x.dtype)
-            S, n1 = self.S, self._n1
             # fine levels ASCENDING with a flush per level resolves constraint
             # chains (a coarse source plane may itself be the fine side of a
-            # deeper hanging interface).  Within a level: all plane values are
-            # computed from the pre-write x (level-l faces and their level-(l-1)
-            # sources live on disjoint cells), then written back.  Faces whose
-            # lattice orientation gives contiguous rows (patch d=0/d=1, single
-            # d=2/d=1) are block-row scatter-SETs on the bucket row views
-            # (~free, microbench B2); only the stride-hostile orientation
-            # keeps the element-priced flat-slot scatter.  Duplicate slots
-            # (patch edges on two covered faces) receive equal values, so the
-            # write order across the paths is irrelevant.
+            # deeper hanging interface); within a level, everything is one
+            # gather + GEMMs + one combined scatter.  Element-priced flat
+            # tables beat block-row restructures here IN CONTEXT (measured
+            # apply_c 0.94 -> 1.41 ms at r=6/p=4, reverted).
             for i, _lev in enumerate(self.sf_levels):
                 idxs, vals_ = [], []
-                prow2, prow3 = [], []   # patch-view rows: (rows, vals)
-                srow2, srow3 = [], []   # single-view rows
-                sv_p, sv_s = self._sf_sources(x, i)
                 if self.sf_patch[i] is not None:
-                    face, _src, _m = self.sf_patch[i]
-                    sv = sv_p                               # [n, sub, sub]
+                    face, src, _m = self.sf_patch[i]
+                    sv = x[src]                             # [n, sub, sub]
                     plane = jnp.einsum(
                         "nsj,is->nij",
                         jnp.einsum("nst,jt->nsj", sv, E1, precision=HIGHEST),
                         E1, precision=HIGHEST,
                     )
-                    off = 0
-                    for fidx, (d, side, cnt) in zip(
-                        self.sf_patch_rows[i], self.sf_patch_rows_meta[i]
-                    ):
-                        pg = plane[off : off + cnt]
-                        pos = (S - 1) if side else 0
-                        if d == 0:
-                            prow2.append((fidx * S + pos, pg.reshape(cnt, S * S)))
-                        elif d == 1:
-                            r = (
-                                fidx[:, None] * S + jnp.arange(S, dtype=fidx.dtype)
-                            ) * S + pos
-                            prow3.append((r.reshape(-1), pg.reshape(cnt * S, S)))
-                        else:
-                            idxs.append(face[off : off + cnt].reshape(-1))
-                            vals_.append(pg.reshape(-1))
-                        off += cnt
+                    idxs.append(face.reshape(-1))
+                    vals_.append(plane.reshape(-1))
                 if self.sf_single[i] is not None:
-                    face, _src, _m, pa, pb = self.sf_single[i]
+                    face, src, _m, pa, pb = self.sf_single[i]
                     Ea = self.sf_Eh[pa].astype(x.dtype)     # [n, n1, n1]
                     Eb = self.sf_Eh[pb].astype(x.dtype)
-                    sv = sv_s                               # [n, n1, n1]
+                    sv = x[src]                             # [n, n1, n1]
                     tmp = jnp.einsum("nmk,njk->nmj", sv, Eb, precision=HIGHEST)
                     plane = jnp.einsum("nmj,nim->nij", tmp, Ea, precision=HIGHEST)
-                    off = 0
-                    for sidx, (d, side, cnt) in zip(
-                        self.sf_single_rows[i], self.sf_single_rows_meta[i]
-                    ):
-                        pg = plane[off : off + cnt]
-                        pos = (n1 - 1) if side else 0
-                        if d == 2:      # geometric z = lattice axis 1
-                            srow2.append((sidx * n1 + pos, pg.reshape(cnt, n1 * n1)))
-                        elif d == 1:    # geometric y = lattice axis 2
-                            r = (
-                                sidx[:, None] * n1
-                                + jnp.arange(n1, dtype=sidx.dtype)
-                            ) * n1 + pos
-                            srow3.append((r.reshape(-1), pg.reshape(cnt * n1, n1)))
-                        else:           # geometric x = fastest axis: no rows
-                            idxs.append(face[off : off + cnt].reshape(-1))
-                            vals_.append(pg.reshape(-1))
-                        off += cnt
-                if prow2 or prow3:
-                    up = self._patches(x)
-                    if prow2:
-                        v2 = up.reshape(self.NP * S, S * S)
-                        rows = jnp.concatenate([r for r, _ in prow2])
-                        v2 = v2.at[rows].set(
-                            jnp.concatenate([v for _, v in prow2]).astype(x.dtype)
-                        )
-                        up = v2.reshape(self.NP, S, S, S)
-                    if prow3:
-                        v3 = up.reshape(self.NP * S * S, S)
-                        rows = jnp.concatenate([r for r, _ in prow3])
-                        v3 = v3.at[rows].set(
-                            jnp.concatenate([v for _, v in prow3]).astype(x.dtype)
-                        )
-                        up = v3.reshape(self.NP, S, S, S)
-                    x = self._with_patches(x, up)
-                if srow2 or srow3:
-                    us = self._singles(x)
-                    if srow2:
-                        w2 = us.reshape(self.NS * n1, n1 * n1)
-                        rows = jnp.concatenate([r for r, _ in srow2])
-                        w2 = w2.at[rows].set(
-                            jnp.concatenate([v for _, v in srow2]).astype(x.dtype)
-                        )
-                        us = w2.reshape(self.NS, self.nloc)
-                    if srow3:
-                        w3 = us.reshape(self.NS * n1 * n1, n1)
-                        rows = jnp.concatenate([r for r, _ in srow3])
-                        w3 = w3.at[rows].set(
-                            jnp.concatenate([v for _, v in srow3]).astype(x.dtype)
-                        )
-                        us = w3.reshape(self.NS, self.nloc)
-                    x = self._with_singles(x, us)
+                    idxs.append(face.reshape(-1))
+                    vals_.append(plane.reshape(-1))
+                # duplicate indices (slots on two covered faces) receive equal
+                # values, so an unordered scatter-set is well-defined
                 if idxs:
-                    x = x.at[jnp.concatenate(idxs)].set(
-                        jnp.concatenate(vals_).astype(x.dtype)
-                    )
+                    x = x.at[jnp.concatenate(idxs)].set(jnp.concatenate(vals_))
             x = x * self.dirichlet_keep
         return x
 
@@ -1117,30 +959,26 @@ class HybridOperator:
         """Structured C^T on RAW residuals (before exchange): ship masked fine
         face planes to the coarse quarter-planes, zero the structured slaves.
 
-        Source writes are block-row adds through the parent lattices' face
-        planes (read-modify-write one face-plane slicer at a time — different
-        slicers share edge slots, so each RMW must see the previous one's
-        adds); element-priced scatter-adds remain only for mixed regions and
-        patch-covered singleton parents."""
+        Patch-face READS are axis slice + block-row gathers on the patch
+        lattice view (microbench pattern A2, ~free); singleton-face reads and
+        all WRITES stay on the flat element tables, with ONE combined
+        scatter-add per level.  A per-(axis, side) slice / row-scatter /
+        write-back restructure was measured 4-5x slower in context (ct_faces
+        1.1 -> 5.1 ms at r=6/p=4) and reverted — the DESIGN.md round-3b
+        sliced-write rule."""
         if not self.sf_levels:
             return r
         E1 = self.sf_E1.astype(r.dtype)
-        S, n1 = self.S, self._n1
-        K = self._K
-        half, p = K // 2, n1 - 1
-        hp, sub = half * p, half * p + 1
+        S = self.S
         # fine-level DESCENDING for the transpose chains; a level's adds land
-        # on level-(l-1) cells, disjoint from its own face reads, so the
-        # per-level write group is exact
+        # on level-(l-1) cells, disjoint from its own face reads, so one
+        # combined scatter-add per level is exact
         for i in range(len(self.sf_levels) - 1, -1, -1):
-            el_idx, el_val = [], []
-            sadds = {}   # (d, side_par) -> [(rows [m], vals [m, n1*n1])]
-            padds = {}   # (d, side_par) -> [(pidx [m], o1, o2, vals [m, sub, sub])]
+            idxs, vals_ = [], []
             if self.sf_patch[i] is not None:
-                _face, _src, mask = self.sf_patch[i]
+                _face, src, mask = self.sf_patch[i]
                 # read whole patch-face planes via axis slice + block-row
-                # gather (microbench pattern A2); group concat order matches
-                # the combined mask tables
+                # gather; group concat order matches the combined tables
                 rp = self._patches(r)
                 plane = jnp.concatenate(
                     [
@@ -1152,114 +990,22 @@ class HybridOperator:
                 ) * mask.astype(r.dtype)
                 tmp = jnp.einsum("nij,is->nsj", plane, E1, precision=HIGHEST)
                 contrib = jnp.einsum("nsj,jt->nst", tmp, E1, precision=HIGHEST)
-                off = 0
-                for (grid_ps, quads, src_m), (d, side, cnt) in zip(
-                    self.sf_patch_src[i], self.sf_patch_rows_meta[i]
-                ):
-                    side_par = 0 if side else 1
-                    seg = contrib[off : off + cnt]
-                    off += cnt
-                    o = 0
-                    if grid_ps is not None:
-                        nS = grid_ps.shape[0]
-                        cS = seg[:nS]
-                        o = nS
-                        k = 0
-                        for c1 in range(half):
-                            for c2 in range(half):
-                                # ownership: the flat src table kept the LAST
-                                # writer's slot at tile-shared edges — mask
-                                # the high row/col unless this tile is last
-                                own = np.ones((n1, n1), np.float32)
-                                if c1 < half - 1:
-                                    own[n1 - 1, :] = 0.0
-                                if c2 < half - 1:
-                                    own[:, n1 - 1] = 0.0
-                                tile = (
-                                    cS[
-                                        :,
-                                        c1 * p : c1 * p + n1,
-                                        c2 * p : c2 * p + n1,
-                                    ]
-                                    * jnp.asarray(own, r.dtype)
-                                ).transpose(0, 2, 1)  # -> (t_hi, t_lo)
-                                sadds.setdefault((d, side_par), []).append(
-                                    (grid_ps[:, k], tile.reshape(nS, n1 * n1))
-                                )
-                                k += 1
-                    for q, (o1, o2) in enumerate(_QUADS):
-                        if quads[q] is not None:
-                            nq = quads[q].shape[0]
-                            padds.setdefault((d, side_par), []).append(
-                                (quads[q], o1, o2, seg[o : o + nq])
-                            )
-                            o += nq
-                    if src_m is not None:
-                        el_idx.append(src_m.reshape(-1))
-                        el_val.append(seg[o:].reshape(-1))
+                idxs.append(src.reshape(-1))
+                vals_.append(contrib.reshape(-1))
             if self.sf_single[i] is not None:
-                _face, _src, mask, pa, pb = self.sf_single[i]
+                face, src, mask, pa, pb = self.sf_single[i]
                 Ea = self.sf_Eh[pa].astype(r.dtype)
                 Eb = self.sf_Eh[pb].astype(r.dtype)
-                # read singleton face planes via axis slice + block-row gather
-                # on the [NS, z, y, x] lattice (pattern A2); group concat
-                # order matches the combined mask tables
-                us = self._singles(r).reshape(self.NS, n1, n1, n1)
-                plane = jnp.concatenate(
-                    [
-                        us[_single_face_slicer(n1, d, side)][sidx]
-                        for sidx, (d, side, _c) in zip(
-                            self.sf_single_rows[i], self.sf_single_rows_meta[i]
-                        )
-                    ]
-                ) * mask.astype(r.dtype)
+                # element-priced flat read: materializing the [NS, n1, n1, n1]
+                # lattice view for a slice+block-row read pays ~40x tile
+                # padding (n1 = p+1 << 128 lanes) per level — measured slower
+                # than the surface-sized element gather
+                plane = r[face] * mask.astype(r.dtype)
                 tmp = jnp.einsum("nij,nim->nmj", plane, Ea, precision=HIGHEST)
                 contrib = jnp.einsum("nmj,njk->nmk", tmp, Eb, precision=HIGHEST)
-                off = 0
-                for (ps, src_pp), (d, side, cnt) in zip(
-                    self.sf_single_src[i], self.sf_single_rows_meta[i]
-                ):
-                    side_par = 0 if side else 1
-                    seg = contrib[off : off + cnt]
-                    off += cnt
-                    ns = 0
-                    if ps is not None:
-                        ns = ps.shape[0]
-                        sadds.setdefault((d, side_par), []).append(
-                            (ps, seg[:ns].reshape(ns, n1 * n1))
-                        )
-                    if src_pp is not None:
-                        el_idx.append(src_pp.reshape(-1))
-                        el_val.append(seg[ns:].reshape(-1))
-            if el_idx:
-                r = r.at[jnp.concatenate(el_idx)].add(jnp.concatenate(el_val))
-            for (d, side_par), lst in sadds.items():
-                usx = self._singles(r).reshape(self.NS, n1, n1, n1)
-                sl = _single_face_slicer(n1, d, side_par)
-                usf = usx[sl].reshape(self.NS, n1 * n1)
-                for rows, vals in lst:
-                    usf = usf.at[rows].add(vals.astype(r.dtype))
-                usx = usx.at[sl].set(usf.reshape(self.NS, n1, n1))
-                r = self._with_singles(r, usx.reshape(self.NS, self.nloc))
-            for (d, side_par), lst in padds.items():
-                up = self._patches(r)
-                sl = _face_slicer(S, d, side_par)
-                v = up[sl].reshape(self.NP * S, S)
-                for pidx_q, o1, o2, cq in lst:
-                    nq = cq.shape[0]
-                    pad = (
-                        jnp.zeros((nq, sub, S), r.dtype)
-                        .at[:, :, o2 * hp : o2 * hp + sub]
-                        .set(cq.astype(r.dtype))
-                    )
-                    rows = (
-                        pidx_q[:, None] * S
-                        + o1 * hp
-                        + jnp.arange(sub, dtype=pidx_q.dtype)
-                    ).reshape(-1)
-                    v = v.at[rows].add(pad.reshape(nq * sub, S))
-                up = up.at[sl].set(v.reshape(self.NP, S, S))
-                r = self._with_patches(r, up)
+                idxs.append(src.reshape(-1))
+                vals_.append(contrib.reshape(-1))
+            r = r.at[jnp.concatenate(idxs)].add(jnp.concatenate(vals_))
         return r * self.sf_slave_keep
 
     def apply_ct(self, r: jax.Array) -> jax.Array:
@@ -1493,10 +1239,10 @@ def make_hybrid_operator(
             plane = (idx[:, None] * S + idx[None, :]) * S + ((S - 1) if side else 0)
         return fmt.patch_slot_base(i_arr)[:, None, None] + plane[None, :, :]
 
-    for l, d, side, fidx, src_slots, _reg in sf_raw:
+    for l, d, side, fidx, src_slots in sf_raw:
         fs = face_slots(fidx, d, side)
         np.add.at(cov_count, fs.reshape(-1), slave_slot[fs.reshape(-1)].astype(np.int64))
-    for l, d, side, pa, pb, sidx, src_slots, _ps in ssf_raw:
+    for l, d, side, pa, pb, sidx, src_slots in ssf_raw:
         fs = _single_face_slots(fmt, sidx, d, side)
         np.add.at(cov_count, fs.reshape(-1), slave_slot[fs.reshape(-1)].astype(np.int64))
     def ct_mask(fs):
@@ -1511,37 +1257,12 @@ def make_hybrid_operator(
     sf_patch, sf_single = [], []
     sf_patch_rows, sf_patch_rows_meta = [], []
     sf_single_rows, sf_single_rows_meta = [], []
-    sf_patch_src, sf_single_src = [], []
     for lev in sf_levels:
         faces, srcs, masks = [], [], []
-        rows, rows_meta, psrc = [], [], []
-        for l, d, side, fidx, src_slots, reg in sf_raw:
+        rows, rows_meta = [], []
+        for l, d, side, fidx, src_slots in sf_raw:
             if l != lev:
                 continue
-            # reorder faces by coarse-region kind so the block-row source
-            # paths operate on contiguous spans of the combined tables:
-            # [all-singleton | one-coarse-patch by quadrant | mixed fallback]
-            rk, rps, rpp, rq = reg
-            ordS = np.nonzero(rk == 0)[0]
-            ordP = [
-                np.nonzero((rk == 1) & (rq[:, 0] == o1) & (rq[:, 1] == o2))[0]
-                for (o1, o2) in ((0, 0), (0, 1), (1, 0), (1, 1))
-            ]
-            ordM = np.nonzero(rk == 2)[0]
-            perm = np.concatenate([ordS, *ordP, ordM])
-            fidx, src_slots = fidx[perm], src_slots[perm]
-            psrc.append(
-                (
-                    to_device(rps[ordS], jnp.int32) if len(ordS) else None,
-                    tuple(
-                        to_device(rpp[g], jnp.int32) if len(g) else None
-                        for g in ordP
-                    ),
-                    to_device(src_slots[len(perm) - len(ordM):], jnp.int32)
-                    if len(ordM)
-                    else None,
-                )
-            )
             fs = face_slots(fidx, d, side)
             faces.append(fs)
             srcs.append(src_slots)
@@ -1559,26 +1280,11 @@ def make_hybrid_operator(
         )
         sf_patch_rows.append(tuple(rows))
         sf_patch_rows_meta.append(tuple(rows_meta))
-        sf_patch_src.append(tuple(psrc))
         faces, srcs, masks, pas, pbs = [], [], [], [], []
-        srows, srows_meta, ssrc = [], [], []
-        for l, d, side, pa, pb, sidx, src_slots, ps in ssf_raw:
+        srows, srows_meta = [], []
+        for l, d, side, pa, pb, sidx, src_slots in ssf_raw:
             if l != lev:
                 continue
-            # singleton-parent entries first (block-row source path), then
-            # patch-covered parents (element fallback)
-            ordS = np.nonzero(ps >= 0)[0]
-            ordP = np.nonzero(ps < 0)[0]
-            perm = np.concatenate([ordS, ordP])
-            sidx, src_slots, ps = sidx[perm], src_slots[perm], ps[perm]
-            ssrc.append(
-                (
-                    to_device(ps[: len(ordS)], jnp.int32) if len(ordS) else None,
-                    to_device(src_slots[len(ordS):], jnp.int32)
-                    if len(ordP)
-                    else None,
-                )
-            )
             fs = _single_face_slots(fmt, sidx, d, side)
             faces.append(fs)
             srcs.append(src_slots)
@@ -1589,7 +1295,6 @@ def make_hybrid_operator(
             srows_meta.append((d, side, len(sidx)))
         sf_single_rows.append(tuple(srows))
         sf_single_rows_meta.append(tuple(srows_meta))
-        sf_single_src.append(tuple(ssrc))
         sf_single.append(
             (
                 to_device(np.concatenate(faces), jnp.int32),
@@ -1733,8 +1438,8 @@ def make_hybrid_operator(
         sf_patch_rows_meta=tuple(sf_patch_rows_meta),
         sf_single_rows=tuple(sf_single_rows),
         sf_single_rows_meta=tuple(sf_single_rows_meta),
-        sf_patch_src=tuple(sf_patch_src),
-        sf_single_src=tuple(sf_single_src),
+        sf_patch_src=(),
+        sf_single_src=(),
         sf_levels=tuple(int(l) for l in sf_levels),
         sf_E1=to_device(E1, dtype),
         sf_slave_keep=to_device(sf_slave_keep, dtype),
@@ -1803,11 +1508,7 @@ def find_structured_faces(fmt: HybridFormat, hang_slave: np.ndarray):
     The coarse source is a sub x sub node plane addressed through a slot
     table (works whether the coarse cells sit in patches or singletons).
     Returns (buckets, covered_slots): buckets = list of
-    (fine_level, d, side, fidx [n], src_slots [n, sub, sub], region) where
-    region classifies each face's coarse source region for the block-row
-    read/write paths: (rkind [n] 0=all-singleton/1=one-coarse-patch/2=mixed,
-    rps [n, half^2] parent singleton ids in (c1, c2) row-major order,
-    rpp [n] coarse patch id, rquad [n, 2] quarter-plane offsets (o1, o2)).
+    (fine_level, d, side, fidx [n], src_slots [n, sub, sub]).
     """
     mesh = fmt.dofh.mesh
     p = fmt.dofh.degree
@@ -1819,7 +1520,6 @@ def find_structured_faces(fmt: HybridFormat, hang_slave: np.ndarray):
     sub = half * p + 1
     cslot = cell_slot_table(fmt)
     loc = local_node_indices(3, p)
-    sarr, parr = _cell_bucket_maps(fmt)
     # same-level patch lookup (conforming neighbour => not hanging)
     key = {}
     for i in range(fmt.n_patches):
@@ -1884,38 +1584,9 @@ def find_structured_faces(fmt: HybridFormat, hang_slave: np.ndarray):
                     jj = fl[:, t2] + c2 * p
                     plane[ii, jj] = cslot[cell][sel]
                 assert (plane >= 0).all()
-                # region classification for the block-row source paths
-                s_par = sarr[cidx]
-                rps_f = np.full(half * half, -1, np.int64)
-                rpp_f, o1, o2 = -1, 0, 0
-                if (s_par >= 0).all():
-                    rk = 0
-                    rps_f = s_par.copy()  # already (c1, c2) row-major
-                else:
-                    pp = parr[cidx]
-                    cp = pp[0]
-                    rk = 1 if cp >= 0 and (pp == cp).all() else 2
-                    if rk == 1:
-                        cb = fmt.patch_block[cp]
-                        o1 = int(nb[t1]) & 1
-                        o2 = int(nb[t2]) & 1
-                        ld = int(base[d] - cb[d] * K)
-                        ok = (
-                            base[t1] == cb[t1] * K + o1 * half
-                            and base[t2] == cb[t2] * K + o2 * half
-                            and ld == (0 if side else K - 1)
-                        )
-                        if not ok:
-                            rk, rpp_f = 2, -1
-                        else:
-                            rpp_f = int(cp)
-                bucket = out.setdefault((l, d, side), ([], [], [], [], [], []))
+                bucket = out.setdefault((l, d, side), ([], []))
                 bucket[0].append(i)
                 bucket[1].append(plane)
-                bucket[2].append(rk)
-                bucket[3].append(rps_f)
-                bucket[4].append(rpp_f)
-                bucket[5].append((o1, o2))
                 # mark fine face slots covered
                 base_slot = int(fmt.patch_slot_base(i))
                 if d == 0:
@@ -1926,32 +1597,10 @@ def find_structured_faces(fmt: HybridFormat, hang_slave: np.ndarray):
                     pl = (idx1[:, None] * S + idx1[None, :]) * S + ((S - 1) if side else 0)
                 covered[base_slot + pl.reshape(-1)] = True
     buckets = [
-        (
-            l, d, side, np.asarray(f, np.int64), np.stack(s),
-            (
-                np.asarray(rk, np.int64), np.stack(rps),
-                np.asarray(rpp, np.int64), np.asarray(rq, np.int64),
-            ),
-        )
-        for (l, d, side), (f, s, rk, rps, rpp, rq) in sorted(out.items())
+        (l, d, side, np.asarray(f, np.int64), np.stack(s))
+        for (l, d, side), (f, s) in sorted(out.items())
     ]
     return buckets, covered
-
-
-def _cell_bucket_maps(fmt: HybridFormat):
-    """cell id -> singleton index (sarr) and -> patch index (parr), -1 where
-    the cell is not in that bucket (padding dummies excluded)."""
-    n_cells = fmt.dofh.mesh.n_cells
-    sarr = np.full(n_cells, -1, np.int64)
-    rs = np.nonzero(fmt.single_cells >= 0)[0]
-    sarr[fmt.single_cells[rs]] = rs
-    parr = np.full(n_cells, -1, np.int64)
-    real_p = np.nonzero(fmt.patch_level >= 0)[0]
-    if real_p.size:
-        parr[fmt.patch_cells[real_p].reshape(-1)] = np.repeat(
-            real_p, fmt.patch_cells.shape[1]
-        )
-    return sarr, parr
 
 
 def _single_face_slots(fmt: HybridFormat, j_arr: np.ndarray, d: int, side: int):
@@ -2014,9 +1663,7 @@ def find_structured_single_faces(fmt: HybridFormat):
     axis (b = the fine cell's anchor parity) — two small GEMMs per bucket
     instead of per-node constraint rows (the singleton-side counterpart of
     find_structured_faces).  Returns (buckets, covered_slots) with buckets =
-    list of (fine_level, d, side, pa, pb, sidx [n], src_slots [n, p+1, p+1],
-    ps [n]) where ps is the parent's singleton index (-1 when the parent is
-    patch-covered — those entries keep the element-priced src path).
+    list of (fine_level, d, side, pa, pb, sidx [n], src_slots [n, p+1, p+1]).
     """
     mesh = fmt.dofh.mesh
     p = fmt.dofh.degree
@@ -2026,7 +1673,6 @@ def find_structured_single_faces(fmt: HybridFormat):
         return [], covered
     cslot = cell_slot_table(fmt)
     loc = local_node_indices(3, p)
-    sarr, _parr = _cell_bucket_maps(fmt)
     idx = mesh.active_index()
 
     def find_exact(level, anchors):
@@ -2076,24 +1722,22 @@ def find_structured_single_faces(fmt: HybridFormat):
             pa = (anchors[sel, t_hi] & 1).astype(np.int64)
             pb = (anchors[sel, t_lo] & 1).astype(np.int64)
             lv = levels[sel]
-            par_s = sarr[par_cells]
             for key in sorted(set(zip(lv.tolist(), pa.tolist(), pb.tolist()))):
                 l, a, b_ = key
                 m = (lv == l) & (pa == a) & (pb == b_)
                 bucket = out.setdefault(
-                    (int(l), d, side, int(a), int(b_)), ([], [], [])
+                    (int(l), d, side, int(a), int(b_)), ([], [])
                 )
                 bucket[0].extend(real[sel[m]].tolist())
                 bucket[1].append(src[m])
-                bucket[2].append(par_s[m])
             fs = _single_face_slots(fmt, real[sel], d, side)
             covered[fs.reshape(-1)] = True
     buckets = [
         (
             l, d, side, a, b_, np.asarray(sidx, np.int64),
-            np.concatenate(srcs), np.concatenate(pss),
+            np.concatenate(srcs),
         )
-        for (l, d, side, a, b_), (sidx, srcs, pss) in sorted(out.items())
+        for (l, d, side, a, b_), (sidx, srcs) in sorted(out.items())
     ]
     return buckets, covered
 
