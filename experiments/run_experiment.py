@@ -45,6 +45,10 @@ def main() -> int:
     ap.add_argument("--budget-s", type=float, default=1800.0)
     ap.add_argument("--max-ref", type=int, default=None,
                     help="skip configs with NRefGlobal above this")
+    ap.add_argument("--isolate", action="store_true",
+                    help="run every config in its own subprocess (survives "
+                         "TPU worker crashes at the cost of per-config "
+                         "process startup)")
     args = ap.parse_args()
 
     name = args.experiment
@@ -107,8 +111,22 @@ def main() -> int:
             if args.max_ref is None or p.n_ref_global <= args.max_ref
         ]
 
+        def run_isolated(config_path: str) -> list[dict]:
+            """One config in a fresh subprocess (fresh TPU client)."""
+            rows_path = config_path + ".rows.json"
+            proc = subprocess.run(
+                [sys.executable, os.path.join(REPO, "experiments", "run_one.py"),
+                 config_path, rows_path],
+                env=dict(os.environ),
+            )
+            if proc.returncode != 0:
+                raise RuntimeError(f"subprocess exited {proc.returncode}")
+            with open(rows_path) as f:
+                return json.load(f)
+
         table = ConvergenceTable()
         done, skipped_budget, failed = [], [], []
+        isolate = args.isolate
         for c, p in todo:
             if time.time() - t0 > args.budget_s and done:
                 skipped_budget.append(os.path.basename(c))
@@ -116,7 +134,11 @@ def main() -> int:
             t_cfg = time.time()
             n_rows = len(table.rows)
             try:
-                cli.run_config(p, table)
+                if isolate:
+                    table.rows.extend(run_isolated(c))
+                    table._current = None
+                else:
+                    cli.run_config(p, table)
             except Exception as exc:  # noqa: BLE001 - crash-safe sweep:
                 # record the failure (e.g. HBM OOM at the largest LS config)
                 # and keep the remaining configs running
@@ -128,6 +150,15 @@ def main() -> int:
                     f"FAILED {os.path.basename(c)}: {type(exc).__name__}: {exc}",
                     file=sys.stderr,
                 )
+                msg = str(exc)
+                if not isolate and ("UNAVAILABLE" in msg or "TPU worker" in msg):
+                    # the in-process jax client is dead; run the remaining
+                    # configs in fresh subprocesses instead of failing them all
+                    isolate = True
+                    failed.append(
+                        "(TPU client lost — switching to --isolate subprocesses "
+                        "for the remaining configs)"
+                    )
                 continue
             done.append((os.path.basename(c), time.time() - t_cfg))
             buf = io.StringIO()
