@@ -385,6 +385,47 @@ def _find_patches(mesh: AdaptiveMesh, K: int):
 SINGLE_SWEEP_ROWS = np.asarray([4, 5, 2, 3, 0, 1])
 
 
+def _ssweep_transfer_mats(n1: int) -> np.ndarray:
+    """[6, nloc, nloc] fused face-transfer matrices for whole-row singleton
+    sweeps: T[2d] maps a neighbour ROW's top face (lattice axis d) onto MY
+    bottom-face entries (T[2d+1] the reverse), so one sweep term is a
+    lane-dense block-row gather + [NS, nloc] @ [nloc, nloc] GEMM instead of
+    ops on the 41x-tile-padded [NS, n1, n1, n1] lattice view (RESULTS.md
+    round-3c).  Face pairing follows the row-major scan of the remaining
+    coords — identical on both faces."""
+    nloc = n1**3
+    loc = np.indices((n1, n1, n1)).reshape(3, -1)  # [3, nloc], x fastest
+    mats = np.zeros((6, nloc, nloc), np.float64)
+    for d in range(3):
+        lo = np.nonzero(loc[d] == 0)[0]
+        hi = np.nonzero(loc[d] == n1 - 1)[0]
+        mats[2 * d][hi, lo] = 1.0  # neighbour top -> my bottom
+        mats[2 * d + 1][lo, hi] = 1.0  # neighbour bottom -> my top
+    return mats
+
+
+def _sface_selectors(n1: int) -> tuple[np.ndarray, np.ndarray]:
+    """Face-plane extraction matrices for whole-row singleton ops.
+
+    sel[2d+side]: [nloc, n1^2] with sel[k, a*n1+b] = 1 where local node k
+    lies on face (lattice axis d, side) at remaining coords (a, b) in
+    lattice order; selT enumerates the plane transposed (b, a) — the order
+    `_exchange_cross` feeds to the patch-grid assembly."""
+    nloc = n1**3
+    loc = np.indices((n1, n1, n1)).reshape(3, -1)
+    sel = np.zeros((6, nloc, n1 * n1), np.float64)
+    selT = np.zeros((6, nloc, n1 * n1), np.float64)
+    for d in range(3):
+        rem = [a for a in range(3) if a != d]
+        for side in (0, 1):
+            on = loc[d] == (0 if side == 0 else n1 - 1)
+            k = np.nonzero(on)[0]
+            a, b = loc[rem[0], k], loc[rem[1], k]
+            sel[2 * d + side][k, a * n1 + b] = 1.0
+            selT[2 * d + side][k, b * n1 + a] = 1.0
+    return sel, selT
+
+
 def _simulate_sweeps(raw: np.ndarray, nbr: np.ndarray, S: int) -> np.ndarray:
     """Exact host mirror of the device exchange sweeps (integer arithmetic).
     Works for any same-size block bucket (K^3 patches or single cells)."""
@@ -876,6 +917,16 @@ class HybridOperator:
     cross: tuple = ()
     Easm: jax.Array | None = None
     use_cross: bool = False
+    # lane-dense variants (RESULTS.md round-3c tile-padding diagnosis):
+    # whole-row singleton sweeps ([NS, nloc] GEMMs, no lattice view) and the
+    # patch-minor transpose-sandwich stencil ([S, S, S, NP], NP on lanes).
+    # Flip with dataclasses.replace(op, use_row_single=True, ...) — the
+    # supporting matrices are always built.
+    ssweep_T: jax.Array | None = None    # [6, nloc, nloc]
+    sface_sel: jax.Array | None = None   # [6, nloc, n1^2] plane extract
+    sface_selT: jax.Array | None = None  # [6, nloc, n1^2] transposed plane
+    use_row_single: bool = False
+    use_tstencil: bool = False
 
     @property
     def dtype(self):
@@ -897,6 +948,13 @@ class HybridOperator:
 
     def _with_singles(self, x: jax.Array, us: jax.Array) -> jax.Array:
         return with_singles(x, us, self.n_shards, self.NP, self.S)
+
+    def _patches2d(self, x: jax.Array) -> jax.Array:
+        """[NP, S^3] patch view straight from the flat vector — 2D with a
+        ~36k lane dim, so it never materialises the (8,128)-padded 4D
+        lattice layout."""
+        pp = (self.NP // self.n_shards) * self.S**3
+        return x.reshape(self.n_shards, -1)[:, :pp].reshape(self.NP, self.S**3)
 
     def new_vector(self) -> jax.Array:
         return jnp.zeros(self.n_slots, self.dtype)
@@ -1022,6 +1080,88 @@ class HybridOperator:
     def _K(self) -> int:
         return (self.S - 1) // max(self._n1 - 1, 1)
 
+    def _ssweep_rows(self, us: jax.Array) -> jax.Array:
+        """Whole-row singleton face sweeps: per lattice axis, one block-row
+        gather of the neighbour rows + one [NS, nloc] @ [nloc, nloc] fused
+        face-transfer GEMM per side (lane-dense; no [NS, n1, n1, n1] view)."""
+        T = self.ssweep_T.astype(us.dtype)
+        for d in range(3):
+            nb_lo = us[self.snbr[2 * d]] * self.snbr_mask[2 * d][:, None]
+            nb_hi = us[self.snbr[2 * d + 1]] * self.snbr_mask[2 * d + 1][:, None]
+            us = us + jnp.matmul(nb_lo, T[2 * d], precision=HIGHEST) \
+                    + jnp.matmul(nb_hi, T[2 * d + 1], precision=HIGHEST)
+        return us
+
+    def _exchange_cross_rows(self, r: jax.Array) -> jax.Array:
+        """_exchange_cross with the singleton side in whole-row form: the
+        [NS, nloc] bucket never reshapes to the 41x-tile-padded lattice;
+        face planes move through sface_sel/selT GEMMs and the s<->s sweep
+        terms through the fused ssweep_T transfer matrices."""
+        S, n1 = self.S, self._n1
+        K = self._K
+        NP, NS = self.NP, self.NS
+        E = self.Easm.astype(r.dtype)
+        T = self.ssweep_T.astype(r.dtype)
+        sel = self.sface_sel.astype(r.dtype)
+        selT = self.sface_selT.astype(r.dtype)
+        up = self._patches(r)
+        us = self._singles(r)  # [NS, nloc], stays 2D throughout
+        b3 = (-1, 1, 1)
+        for g in range(3):
+            psl_lo = _face_slicer(S, g, 0)
+            psl_hi = _face_slicer(S, g, 1)
+            p_lo, p_hi = up[psl_lo], up[psl_hi]
+            add_plo = p_hi[self.nbr[2 * g]] * self.nbr_mask[2 * g].reshape(b3)
+            add_phi = p_lo[self.nbr[2 * g + 1]] * self.nbr_mask[2 * g + 1].reshape(b3)
+            ds = 2 - g  # snbr tables are lattice-axis ([z, y, x]) ordered
+            nb_lo = us[self.snbr[2 * ds]] * self.snbr_mask[2 * ds][:, None]
+            nb_hi = us[self.snbr[2 * ds + 1]] * self.snbr_mask[2 * ds + 1][:, None]
+            add_us = jnp.matmul(nb_lo, T[2 * ds], precision=HIGHEST) \
+                   + jnp.matmul(nb_hi, T[2 * ds + 1], precision=HIGHEST)
+            for side_p in (0, 1):
+                tbl = self.cross[2 * g + side_p]
+                if tbl is None:
+                    continue
+                ppos, sidx = tbl
+                # singleton source face: (axis ds, side hi) when the patch
+                # face is lo — extracted in transposed (b, a) plane order,
+                # exactly the sp = spre[sidx].transpose(0, 2, 1) feed
+                s_side = 1 - side_p
+                ppre = p_lo if side_p == 0 else p_hi
+                sp = jnp.matmul(
+                    us[sidx], selT[2 * ds + s_side], precision=HIGHEST
+                ).reshape(-1, n1, n1)
+                grid = jnp.zeros((NP * K * K, n1, n1), r.dtype).at[ppos].set(sp)
+                Gm = (
+                    grid.reshape(NP, K, K, n1, n1)
+                    .transpose(0, 1, 3, 2, 4)
+                    .reshape(NP, K * n1, K * n1)
+                )
+                Z = jnp.einsum("su,puv,tv->pst", E, Gm, E, precision=HIGHEST)
+                Gi = jnp.einsum("su,pst,tv->puv", E, ppre, E, precision=HIGHEST)
+                sub = (
+                    Gi.reshape(NP, K, n1, K, n1)
+                    .transpose(0, 1, 3, 2, 4)
+                    .reshape(NP * K * K, n1, n1)[ppos]
+                )
+                # subT (transposed plane order) injected back onto the same
+                # singleton face as whole-row adds
+                inj = jnp.matmul(
+                    sub.transpose(0, 2, 1).reshape(sub.shape[0], -1),
+                    sel[2 * ds + s_side].T,
+                    precision=HIGHEST,
+                )
+                add_us = add_us.at[sidx].add(inj)
+                if side_p == 0:
+                    add_plo = add_plo + Z
+                else:
+                    add_phi = add_phi + Z
+            up = up.at[psl_lo].add(add_plo)
+            up = up.at[psl_hi].add(add_phi)
+            us = us + add_us
+        r = self._with_patches(r, up)
+        return self._with_singles(r, us)
+
     def _exchange_cross(self, r: jax.Array) -> jax.Array:
         """Interleaved structured exchange: per geometric axis, patch sweeps,
         singleton sweeps AND patch<->singleton cross terms, all adds within an
@@ -1116,13 +1256,18 @@ class HybridOperator:
                 up = up.at[tuple(sl_top)].add(add_hi)
             return up
 
-        if self.use_cross:
+        if self.use_cross and self.use_row_single:
+            r = self._exchange_cross_rows(r)
+        elif self.use_cross:
             r = self._exchange_cross(r)
         else:
             if self.NP:
                 up = sweeps(self._patches(r), self.nbr, self.nbr_mask, self.S)
                 r = self._with_patches(r, up)
-            if self.NS and self.use_ssweep:
+            if self.NS and self.use_ssweep and self.use_row_single:
+                us = self._singles(r)
+                r = self._with_singles(r, self._ssweep_rows(us))
+            elif self.NS and self.use_ssweep:
                 n1 = self._n1
                 us = self._singles(r).reshape(self.NS, n1, n1, n1)
                 us = sweeps(us, self.snbr, self.snbr_mask, n1)
@@ -1135,7 +1280,26 @@ class HybridOperator:
     def cell_apply_raw(self, x: jax.Array) -> jax.Array:
         """Per-patch stencil + per-singleton GEMM; result is pre-exchange."""
         rp = rs = None
-        if self.NP:
+        if self.NP and self.use_tstencil:
+            # patch-minor transpose sandwich: contractions run on
+            # [S, S, S, NP] with the patch index on the (dense) lane dim
+            # instead of paying the 4.7x (8,128) tile on [.., S, S]
+            S, NP = self.S, self.NP
+            ut = self._patches2d(x).T.reshape(S, S, S, NP)
+
+            def axl(u, mat, axis):
+                return jnp.moveaxis(
+                    jnp.tensordot(mat, u, axes=([1], [axis]), precision=HIGHEST),
+                    0, axis,
+                )
+
+            KS, MS = self.KS, self.MS
+            kx = axl(axl(axl(ut, KS, 0), MS, 1), MS, 2)
+            ky = axl(axl(axl(ut, MS, 0), KS, 1), MS, 2)
+            kz = axl(axl(axl(ut, MS, 0), MS, 1), KS, 2)
+            rt = (kx + ky + kz) * self.pscale[None, None, None, :]
+            rp = rt.reshape(S**3, NP).T.reshape(NP, S, S, S)
+        elif self.NP:
             up = self._patches(x)
 
             def ax(u, mat, axis):
@@ -1177,8 +1341,9 @@ jax.tree_util.register_dataclass(
         "sf_patch", "sf_single", "sf_patch_rows", "sf_single_rows",
         "sf_patch_src", "sf_single_src", "sf_E1",
         "sf_slave_keep", "sf_Eh", "cross", "Easm",
+        "ssweep_T", "sface_sel", "sface_selT",
     ],
-    meta_fields=["sf_levels", "sf_patch_rows_meta", "sf_single_rows_meta", "use_ssweep", "use_cross", "NP", "NS", "S", "nloc", "n_slots", "n_dofs", "n_shards"],
+    meta_fields=["sf_levels", "sf_patch_rows_meta", "sf_single_rows_meta", "use_ssweep", "use_cross", "use_row_single", "use_tstencil", "NP", "NS", "S", "nloc", "n_slots", "n_dofs", "n_shards"],
 )
 
 
@@ -1399,6 +1564,15 @@ def make_hybrid_operator(
     for b in range(fmt.K):
         Easm[b * p : b * p + n1p, b * n1p : b * n1p + n1p] = np.eye(n1p)
 
+    # lane-dense singleton machinery (always built — flags flip at runtime
+    # via dataclasses.replace; see RESULTS.md round-3c)
+    ssweep_T = _ssweep_transfer_mats(n1p)
+    sface_sel, sface_selT = _sface_selectors(n1p)
+    import os as _os
+
+    use_row_single = bool(int(_os.environ.get("MGTPU_ROW_SINGLE", "0")))
+    use_tstencil = bool(int(_os.environ.get("MGTPU_TSTENCIL", "0")))
+
     return HybridOperator(
         KS=to_device(KS, dtype),
         MS=to_device(MS, dtype),
@@ -1447,6 +1621,11 @@ def make_hybrid_operator(
         cross=tuple(cross_dev),
         Easm=to_device(Easm, dtype),
         use_cross=fmt.use_cross,
+        ssweep_T=to_device(ssweep_T, dtype),
+        sface_sel=to_device(sface_sel, dtype),
+        sface_selT=to_device(sface_selT, dtype),
+        use_row_single=use_row_single,
+        use_tstencil=use_tstencil,
         NP=fmt.n_patches,
         NS=fmt.n_singles,
         S=fmt.S,

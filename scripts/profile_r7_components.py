@@ -108,13 +108,25 @@ def main():
         ("exch_irr", irr_only),
         ("apply_ct", lambda o, v: o.apply_ct(v)),
     ]
+    import dataclasses
+
     rng = np.random.default_rng(0)
     for li in sorted(levels, reverse=True):
         op = levels[li].op
         x = jnp.asarray(rng.standard_normal(op.n_slots), jnp.float32)
         print(f"--- L{li}: slots={op.n_slots} NP={op.NP} NS={op.NS} "
               f"use_cross={op.use_cross} use_ssweep={op.use_ssweep}", flush=True)
-        for name, f in comps:
+        variants = [
+            ("base", op),
+            ("tstencil", dataclasses.replace(op, use_tstencil=True)),
+            ("rowsingle", dataclasses.replace(op, use_row_single=True)),
+            ("both", dataclasses.replace(op, use_tstencil=True,
+                                         use_row_single=True)),
+        ]
+        for vname, vop in variants:
+            t = timeit_looped(lambda o, v: o.vmult(v), vop, x)
+            print(f"  vmult[{vname:9s}] {t*1e3:8.3f} ms", flush=True)
+        for name, f in comps[1:]:
             t = timeit_looped(f, op, x)
             print(f"  {name:16s} {t*1e3:8.3f} ms", flush=True)
 

@@ -1,0 +1,76 @@
+"""Lane-dense operator variants == baseline, exactly (same linear operator).
+
+The tile-padding diagnosis (RESULTS.md round-3c) introduced two flagged
+variants of the hybrid engine's hot paths:
+  * use_tstencil — patch-minor [S, S, S, NP] transpose-sandwich stencil
+  * use_row_single — whole-row [NS, nloc] singleton sweeps + cross exchange
+Both must be the SAME operator as the baseline up to f.p. summation order.
+"""
+
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dealii_multigrid_tpu import api
+from dealii_multigrid_tpu.mesh import generators
+from dealii_multigrid_tpu.mesh.coarsening import geometric_coarsening_sequence
+
+
+def _levels(geom, r, p, dtype):
+    mesh = generators.create(geom, 3, r, 0)
+    tri_seq = geometric_coarsening_sequence(mesh)
+    plan = api.gc_level_plan("HMG-global", tri_seq, p)
+    return [api.build_level_hybrid(m, d, dtype) for m, d in plan]
+
+
+@pytest.mark.parametrize(
+    "geom,r,p,expect_cross",
+    [("quadrant", 4, 2, False), ("annulus", 4, 2, False),
+     ("quadrant", 5, 3, True)],
+)
+def test_variants_match_baseline(geom, r, p, expect_cross):
+    levels = _levels(geom, r, p, jnp.float64)
+    rng = np.random.default_rng(7)
+    checked_cross = checked_ssweep = False
+    for lv in levels:
+        op = lv.op
+        if not op.NS:
+            continue
+        x = jnp.asarray(rng.standard_normal(op.n_slots), jnp.float64)
+        base = np.asarray(op.vmult(x))
+        var = dataclasses.replace(op, use_row_single=True, use_tstencil=True)
+        out = np.asarray(var.vmult(x))
+        scale = np.abs(base).max()
+        np.testing.assert_allclose(out, base, rtol=0, atol=1e-12 * scale)
+        # exchange paths individually (vmult may not exercise both)
+        r_in = jnp.asarray(rng.standard_normal(op.n_slots), jnp.float64)
+        np.testing.assert_allclose(
+            np.asarray(var.exchange(r_in)), np.asarray(op.exchange(r_in)),
+            rtol=0, atol=1e-12 * scale,
+        )
+        checked_cross |= bool(op.use_cross)
+        checked_ssweep |= bool(op.NS and op.use_ssweep and not op.use_cross)
+    if expect_cross:
+        assert checked_cross, "no level exercised the cross-exchange path"
+
+
+def test_row_ssweep_matches_lattice_path():
+    # force the non-cross branch to compare _ssweep_rows against the
+    # lattice sweeps on a level that has singleton neighbours
+    levels = _levels("quadrant", 4, 2, jnp.float64)
+    rng = np.random.default_rng(3)
+    hit = False
+    for lv in levels:
+        op = lv.op
+        if not (op.NS and op.use_ssweep):
+            continue
+        base = dataclasses.replace(op, use_cross=False)
+        var = dataclasses.replace(op, use_cross=False, use_row_single=True)
+        r_in = jnp.asarray(rng.standard_normal(op.n_slots), jnp.float64)
+        a = np.asarray(base.exchange(r_in))
+        b = np.asarray(var.exchange(r_in))
+        np.testing.assert_allclose(b, a, rtol=0, atol=1e-12 * np.abs(a).max())
+        hit = True
+    assert hit
