@@ -925,8 +925,12 @@ class HybridOperator:
     ssweep_T: jax.Array | None = None    # [6, nloc, nloc]
     sface_sel: jax.Array | None = None   # [6, nloc, n1^2] plane extract
     sface_selT: jax.Array | None = None  # [6, nloc, n1^2] transposed plane
+    # one-hot patch-neighbour matrices [6, NP, NP] (mask folded in) for the
+    # transposed exchange; built only when NP <= 2048
+    pnbr_P: jax.Array | None = None
     use_row_single: bool = False
     use_tstencil: bool = False
+    use_texchange: bool = False
 
     @property
     def dtype(self):
@@ -955,6 +959,11 @@ class HybridOperator:
         lattice layout."""
         pp = (self.NP // self.n_shards) * self.S**3
         return x.reshape(self.n_shards, -1)[:, :pp].reshape(self.NP, self.S**3)
+
+    def _with_patches2d(self, x: jax.Array, up2d: jax.Array) -> jax.Array:
+        pp = (self.NP // self.n_shards) * self.S**3
+        xa = x.reshape(self.n_shards, -1)
+        return xa.at[:, :pp].set(up2d.reshape(self.n_shards, -1)).reshape(-1)
 
     def new_vector(self) -> jax.Array:
         return jnp.zeros(self.n_slots, self.dtype)
@@ -1162,6 +1171,73 @@ class HybridOperator:
         r = self._with_patches(r, up)
         return self._with_singles(r, us)
 
+    def _exchange_cross_t(self, r: jax.Array) -> jax.Array:
+        """Fully lane-dense cross exchange: the patch bucket lives in the
+        transposed [S, S, S, NP] form (NP on lanes), face planes are leading
+        -axis slices, cross-patch neighbour adds are one-hot [NP, NP] GEMMs
+        (mask folded in), and the singleton side is whole-row (_ssweep_rows
+        machinery).  Same adds-read-pre-axis-values semantics as
+        _exchange_cross."""
+        S, n1 = self.S, self._n1
+        K = self._K
+        NP, NS = self.NP, self.NS
+        E = self.Easm.astype(r.dtype)
+        T = self.ssweep_T.astype(r.dtype)
+        sel = self.sface_sel.astype(r.dtype)
+        selT = self.sface_selT.astype(r.dtype)
+        P = self.pnbr_P.astype(r.dtype)
+        ut = self._patches2d(r).T.reshape(S, S, S, NP)
+        us = self._singles(r)
+        for g in range(3):
+            sl_lo = tuple(0 if a == g else slice(None) for a in range(3))
+            sl_hi = tuple((S - 1) if a == g else slice(None) for a in range(3))
+            p_lo, p_hi = ut[sl_lo], ut[sl_hi]          # [A, B, NP]
+            add_plo = jnp.matmul(p_hi, P[2 * g], precision=HIGHEST)
+            add_phi = jnp.matmul(p_lo, P[2 * g + 1], precision=HIGHEST)
+            ds = 2 - g
+            nb_lo = us[self.snbr[2 * ds]] * self.snbr_mask[2 * ds][:, None]
+            nb_hi = us[self.snbr[2 * ds + 1]] * self.snbr_mask[2 * ds + 1][:, None]
+            add_us = jnp.matmul(nb_lo, T[2 * ds], precision=HIGHEST) \
+                   + jnp.matmul(nb_hi, T[2 * ds + 1], precision=HIGHEST)
+            for side_p in (0, 1):
+                tbl = self.cross[2 * g + side_p]
+                if tbl is None:
+                    continue
+                ppos, sidx = tbl
+                s_side = 1 - side_p
+                ppre = p_lo if side_p == 0 else p_hi
+                sp = jnp.matmul(
+                    us[sidx], selT[2 * ds + s_side], precision=HIGHEST
+                ).reshape(-1, n1, n1)
+                grid = jnp.zeros((NP * K * K, n1, n1), r.dtype).at[ppos].set(sp)
+                Gm_t = (
+                    grid.reshape(NP, K, K, n1, n1)
+                    .transpose(1, 3, 2, 4, 0)
+                    .reshape(K * n1, K * n1, NP)
+                )
+                Z_t = jnp.einsum("su,uvp,tv->stp", E, Gm_t, E, precision=HIGHEST)
+                Gi_t = jnp.einsum("su,stp,tv->uvp", E, ppre, E, precision=HIGHEST)
+                sub = (
+                    Gi_t.reshape(K, n1, K, n1, NP)
+                    .transpose(4, 0, 2, 1, 3)
+                    .reshape(NP * K * K, n1, n1)[ppos]
+                )
+                inj = jnp.matmul(
+                    sub.transpose(0, 2, 1).reshape(sub.shape[0], -1),
+                    sel[2 * ds + s_side].T,
+                    precision=HIGHEST,
+                )
+                add_us = add_us.at[sidx].add(inj)
+                if side_p == 0:
+                    add_plo = add_plo + Z_t
+                else:
+                    add_phi = add_phi + Z_t
+            ut = ut.at[sl_lo].add(add_plo)
+            ut = ut.at[sl_hi].add(add_phi)
+            us = us + add_us
+        r = self._with_patches2d(r, ut.reshape(S**3, NP).T)
+        return self._with_singles(r, us)
+
     def _exchange_cross(self, r: jax.Array) -> jax.Array:
         """Interleaved structured exchange: per geometric axis, patch sweeps,
         singleton sweeps AND patch<->singleton cross terms, all adds within an
@@ -1256,7 +1332,10 @@ class HybridOperator:
                 up = up.at[tuple(sl_top)].add(add_hi)
             return up
 
-        if self.use_cross and self.use_row_single:
+        if (self.use_cross and self.use_row_single and self.use_texchange
+                and self.pnbr_P is not None):
+            r = self._exchange_cross_t(r)
+        elif self.use_cross and self.use_row_single:
             r = self._exchange_cross_rows(r)
         elif self.use_cross:
             r = self._exchange_cross(r)
@@ -1341,9 +1420,9 @@ jax.tree_util.register_dataclass(
         "sf_patch", "sf_single", "sf_patch_rows", "sf_single_rows",
         "sf_patch_src", "sf_single_src", "sf_E1",
         "sf_slave_keep", "sf_Eh", "cross", "Easm",
-        "ssweep_T", "sface_sel", "sface_selT",
+        "ssweep_T", "sface_sel", "sface_selT", "pnbr_P",
     ],
-    meta_fields=["sf_levels", "sf_patch_rows_meta", "sf_single_rows_meta", "use_ssweep", "use_cross", "use_row_single", "use_tstencil", "NP", "NS", "S", "nloc", "n_slots", "n_dofs", "n_shards"],
+    meta_fields=["sf_levels", "sf_patch_rows_meta", "sf_single_rows_meta", "use_ssweep", "use_cross", "use_row_single", "use_tstencil", "use_texchange", "NP", "NS", "S", "nloc", "n_slots", "n_dofs", "n_shards"],
 )
 
 
@@ -1568,10 +1647,21 @@ def make_hybrid_operator(
     # via dataclasses.replace; see RESULTS.md round-3c)
     ssweep_T = _ssweep_transfer_mats(n1p)
     sface_sel, sface_selT = _sface_selectors(n1p)
+    # one-hot patch-neighbour matrices for the transposed exchange (mask
+    # folded in); bounded to keep the table surface-sized
+    pnbr_P = None
+    if 0 < fmt.n_patches <= 1024:
+        NPn = fmt.n_patches
+        pnbr_P = np.zeros((6, NPn, NPn), np.float32)
+        cols = np.arange(NPn)
+        for row in range(6):
+            ok = fmt.nbr[row] >= 0
+            pnbr_P[row][np.maximum(fmt.nbr[row], 0)[ok], cols[ok]] = 1.0
     import os as _os
 
     use_row_single = bool(int(_os.environ.get("MGTPU_ROW_SINGLE", "0")))
     use_tstencil = bool(int(_os.environ.get("MGTPU_TSTENCIL", "0")))
+    use_texchange = bool(int(_os.environ.get("MGTPU_TEXCHANGE", "0")))
 
     return HybridOperator(
         KS=to_device(KS, dtype),
@@ -1624,8 +1714,10 @@ def make_hybrid_operator(
         ssweep_T=to_device(ssweep_T, dtype),
         sface_sel=to_device(sface_sel, dtype),
         sface_selT=to_device(sface_selT, dtype),
+        pnbr_P=to_device(pnbr_P, dtype) if pnbr_P is not None else None,
         use_row_single=use_row_single,
         use_tstencil=use_tstencil,
+        use_texchange=use_texchange,
         NP=fmt.n_patches,
         NS=fmt.n_singles,
         S=fmt.S,

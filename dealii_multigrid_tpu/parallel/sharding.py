@@ -166,6 +166,10 @@ def place_hybrid_op(op, dmesh: Mesh):
         sf_Eh=put(op.sf_Eh, rep) if op.sf_Eh is not None else None,
         cross=rep_tree(op.cross),
         Easm=put(op.Easm, rep) if op.Easm is not None else None,
+        ssweep_T=put(op.ssweep_T, rep) if op.ssweep_T is not None else None,
+        sface_sel=put(op.sface_sel, rep) if op.sface_sel is not None else None,
+        sface_selT=put(op.sface_selT, rep) if op.sface_selT is not None else None,
+        pnbr_P=put(op.pnbr_P, rep) if op.pnbr_P is not None else None,
     )
 
 

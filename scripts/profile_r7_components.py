@@ -122,6 +122,9 @@ def main():
             ("rowsingle", dataclasses.replace(op, use_row_single=True)),
             ("both", dataclasses.replace(op, use_tstencil=True,
                                          use_row_single=True)),
+            ("all_t", dataclasses.replace(op, use_tstencil=True,
+                                          use_row_single=True,
+                                          use_texchange=True)),
         ]
         for vname, vop in variants:
             t = timeit_looped(lambda o, v: o.vmult(v), vop, x)

@@ -40,16 +40,18 @@ def test_variants_match_baseline(geom, r, p, expect_cross):
             continue
         x = jnp.asarray(rng.standard_normal(op.n_slots), jnp.float64)
         base = np.asarray(op.vmult(x))
-        var = dataclasses.replace(op, use_row_single=True, use_tstencil=True)
-        out = np.asarray(var.vmult(x))
         scale = np.abs(base).max()
-        np.testing.assert_allclose(out, base, rtol=0, atol=1e-12 * scale)
-        # exchange paths individually (vmult may not exercise both)
         r_in = jnp.asarray(rng.standard_normal(op.n_slots), jnp.float64)
-        np.testing.assert_allclose(
-            np.asarray(var.exchange(r_in)), np.asarray(op.exchange(r_in)),
-            rtol=0, atol=1e-12 * scale,
-        )
+        exch = np.asarray(op.exchange(r_in))
+        var = dataclasses.replace(op, use_row_single=True, use_tstencil=True)
+        vart = dataclasses.replace(var, use_texchange=True)
+        for v in (var, vart):
+            np.testing.assert_allclose(
+                np.asarray(v.vmult(x)), base, rtol=0, atol=1e-12 * scale
+            )
+            np.testing.assert_allclose(
+                np.asarray(v.exchange(r_in)), exch, rtol=0, atol=1e-12 * scale
+            )
         checked_cross |= bool(op.use_cross)
         checked_ssweep |= bool(op.NS and op.use_ssweep and not op.use_cross)
     if expect_cross:
