@@ -77,6 +77,12 @@ class HybridTransfer:
     n_slots_f: int
     n_slots_c: int
     D_f: int = 1  # fine level's n_shards (device-major layout)
+    # transposed-transfer machinery (lane-dense; RESULTS.md round-3c): per
+    # patch bucket a one-hot [NP_c, NP_f] routing matrix so ALL buckets share
+    # ONE leading-axis interpolation chain on [*, NP_f]-lane arrays instead
+    # of per-bucket ops on the 10.6x-tile-padded [n, sub, sub, sub] views
+    patch_hot: tuple = ()
+    use_ttransfer: bool = False
     # local-smoothing mode (MGTransferMatrixFree semantics,
     # multigrid_throughput.cc:1800-1802): level meshes are conforming and
     # level vectors are unconstrained, so no constraint application and no
@@ -101,29 +107,85 @@ class HybridTransfer:
         r = _axis_apply(r, ET, 2)
         return _axis_apply(r, ET, 3)
 
+    def _interp_lead(self, u: jax.Array) -> jax.Array:
+        """[sub, sub, sub, L] -> [S_f, S_f, S_f, L]: E1 along leading axes,
+        lanes untouched."""
+        E = self.E1.astype(u.dtype)
+        for axis in range(3):
+            u = jnp.moveaxis(
+                jnp.tensordot(E, u, axes=([1], [axis]), precision=HIGHEST),
+                0, axis,
+            )
+        return u
+
+    def _interp_lead_t(self, u: jax.Array) -> jax.Array:
+        ET = self.E1.T.astype(u.dtype)
+        for axis in range(3):
+            u = jnp.moveaxis(
+                jnp.tensordot(ET, u, axes=([1], [axis]), precision=HIGHEST),
+                0, axis,
+            )
+        return u
+
+    def _prolong_patches_t(self, uc: jax.Array, dtype) -> jax.Array:
+        """Transposed patch prolongation -> [NP_f, S_f^3] rows."""
+        cop = self.coarse_op
+        S_c, S_f, sub = self.S_c, self.S_f, self.sub
+        uc2 = cop._patches2d(uc)
+        out2 = jnp.zeros((self.NP_f, S_f**3), dtype)
+        if cop.NP and self.patch_buckets:
+            uct = uc2.T.reshape(S_c, S_c, S_c, cop.NP)
+            acc = None
+            for ((_f, _c, _ch), (ox, oy, oz), H) in zip(
+                self.patch_buckets, self.patch_offsets, self.patch_hot
+            ):
+                w = uct[ox : ox + sub, oy : oy + sub, oz : oz + sub, :]
+                term = jnp.tensordot(
+                    w, H.astype(dtype), axes=([3], [0]), precision=HIGHEST
+                )
+                acc = term if acc is None else acc + term
+            v = self._interp_lead(acc)
+            out2 = v.reshape(S_f**3, self.NP_f).T
+        if self.id_bucket is not None:
+            fidx, cidx = self.id_bucket
+            out2 = out2.at[fidx].set(uc2[cidx])
+        if self.irr_patch is not None:
+            fidx, sub_slots = self.irr_patch
+            sv = uc[sub_slots].reshape(-1, sub, sub, sub)
+            out2 = out2.at[fidx].set(self._interp_sub(sv).reshape(len(fidx), -1))
+        if self.irr_id is not None:
+            fidx, slots = self.irr_id
+            out2 = out2.at[fidx].set(uc[slots].reshape(len(fidx), -1))
+        return out2
+
     def prolong(self, uc: jax.Array) -> jax.Array:
         if not self.ls_mode:
             uc = self.coarse_op.apply_c(uc)
         dtype = uc.dtype
         S_c, S_f, sub = self.S_c, self.S_f, self.sub
-        out_p = jnp.zeros((self.NP_f, S_f, S_f, S_f), dtype) if self.NP_f else None
-        if self.coarse_op.NP and self.NP_f:
-            up_c = self.coarse_op._patches(uc)
-            for (fidx, cidx, _ch), (ox, oy, oz) in zip(
-                self.patch_buckets, self.patch_offsets
-            ):
-                sv = up_c[cidx, ox : ox + sub, oy : oy + sub, oz : oz + sub]
+        if self.use_ttransfer and self.patch_hot and self.NP_f:
+            out_p = self._prolong_patches_t(uc, dtype)
+        else:
+            out_p = (
+                jnp.zeros((self.NP_f, S_f, S_f, S_f), dtype) if self.NP_f else None
+            )
+            if self.coarse_op.NP and self.NP_f:
+                up_c = self.coarse_op._patches(uc)
+                for (fidx, cidx, _ch), (ox, oy, oz) in zip(
+                    self.patch_buckets, self.patch_offsets
+                ):
+                    sv = up_c[cidx, ox : ox + sub, oy : oy + sub, oz : oz + sub]
+                    out_p = out_p.at[fidx].set(self._interp_sub(sv))
+                if self.id_bucket is not None:
+                    fidx, cidx = self.id_bucket
+                    out_p = out_p.at[fidx].set(up_c[cidx])
+            if self.irr_patch is not None:
+                fidx, sub_slots = self.irr_patch
+                sv = uc[sub_slots].reshape(-1, sub, sub, sub)
                 out_p = out_p.at[fidx].set(self._interp_sub(sv))
-            if self.id_bucket is not None:
-                fidx, cidx = self.id_bucket
-                out_p = out_p.at[fidx].set(up_c[cidx])
-        if self.irr_patch is not None:
-            fidx, sub_slots = self.irr_patch
-            sv = uc[sub_slots].reshape(-1, sub, sub, sub)
-            out_p = out_p.at[fidx].set(self._interp_sub(sv))
-        if self.irr_id is not None:
-            fidx, slots = self.irr_id
-            out_p = out_p.at[fidx].set(uc[slots].reshape(-1, S_f, S_f, S_f))
+            if self.irr_id is not None:
+                fidx, slots = self.irr_id
+                out_p = out_p.at[fidx].set(uc[slots].reshape(-1, S_f, S_f, S_f))
         out_s = None
         if self.NS_f:
             out_s = jnp.zeros((self.NS_f, self.nloc_f), dtype)
@@ -142,6 +204,47 @@ class HybridTransfer:
             return out
         return out * self.fine_constrained_keep
 
+    def _fine_patches2d(self, rf: jax.Array) -> jax.Array:
+        pp = (self.NP_f // self.D_f) * self.S_f**3
+        return rf.reshape(self.D_f, -1)[:, :pp].reshape(self.NP_f, self.S_f**3)
+
+    def _restrict_patches_t(self, rf: jax.Array, dtype) -> jax.Array:
+        """Transposed patch restriction -> flat coarse accumulator."""
+        cop = self.coarse_op
+        S_c, S_f, sub = self.S_c, self.S_f, self.sub
+        rp2 = self._fine_patches2d(rf)
+        acc = jnp.zeros(self.n_slots_c, dtype)
+        acc2 = jnp.zeros((cop.NP, S_c**3), dtype) if cop.NP else None
+        if cop.NP and self.patch_buckets:
+            rt = rp2.T.reshape(S_f, S_f, S_f, self.NP_f)
+            v = self._interp_lead_t(rt)  # [sub, sub, sub, NP_f]
+            acc_t = jnp.zeros((S_c, S_c, S_c, cop.NP), dtype)
+            for ((_f, _c, _ch), (ox, oy, oz), H) in zip(
+                self.patch_buckets, self.patch_offsets, self.patch_hot
+            ):
+                g = jnp.tensordot(
+                    v, H.astype(dtype), axes=([3], [1]), precision=HIGHEST
+                )
+                acc_t = acc_t.at[
+                    ox : ox + sub, oy : oy + sub, oz : oz + sub, :
+                ].add(g)
+            acc2 = acc_t.reshape(S_c**3, cop.NP).T
+        if acc2 is not None and self.id_bucket is not None:
+            fidx, cidx = self.id_bucket
+            acc2 = acc2.at[cidx].add(rp2[fidx])
+        if acc2 is not None:
+            acc = cop._with_patches2d(acc, acc2)
+        if self.irr_patch is not None:
+            fidx, sub_slots = self.irr_patch
+            sv = rp2[fidx].reshape(-1, S_f, S_f, S_f)
+            acc = acc.at[sub_slots.reshape(-1)].add(
+                self._interp_sub_t(sv).reshape(-1)
+            )
+        if self.irr_id is not None:
+            fidx, slots = self.irr_id
+            acc = acc.at[slots.reshape(-1)].add(rp2[fidx].reshape(-1))
+        return acc
+
     def restrict(self, rf: jax.Array) -> jax.Array:
         dtype = rf.dtype
         if self.ls_mode:
@@ -150,36 +253,41 @@ class HybridTransfer:
             rf = rf * self.fine_constrained_keep * self.fine_owner
         S_c, S_f, sub = self.S_c, self.S_f, self.sub
         cop = self.coarse_op
-        acc = jnp.zeros(self.n_slots_c, dtype)
-        rp = (
-            unpack_patches(rf, self.D_f, self.NP_f, S_f) if self.NP_f else None
-        )
-        if cop.NP and self.NP_f:
-            acc_p = jnp.zeros((cop.NP, S_c, S_c, S_c), dtype)
-            for (fidx, cidx, child_rows), (ox, oy, oz) in zip(
-                self.patch_buckets, self.patch_offsets
-            ):
-                v = self._interp_sub_t(rp[fidx])
-                # every coarse patch has at most ONE fine child per octant
-                # (verified at build time), so the octant-window update is a
-                # block-row GATHER + static-window add instead of an
-                # element-priced window scatter
-                vpad = jnp.concatenate(
-                    [v, jnp.zeros((1, sub, sub, sub), dtype)], axis=0
-                )
-                g = vpad[child_rows]
-                acc_p = acc_p.at[:, ox : ox + sub, oy : oy + sub, oz : oz + sub].add(g)
-            if self.id_bucket is not None:
-                fidx, cidx = self.id_bucket
-                acc_p = acc_p.at[cidx].add(rp[fidx])
-            acc = cop._with_patches(acc, acc_p)
-        if self.irr_patch is not None:
-            fidx, sub_slots = self.irr_patch
-            v = self._interp_sub_t(rp[fidx]).reshape(len(sub_slots), -1)
-            acc = acc.at[sub_slots.reshape(-1)].add(v.reshape(-1))
-        if self.irr_id is not None:
-            fidx, slots = self.irr_id
-            acc = acc.at[slots.reshape(-1)].add(rp[fidx].reshape(-1))
+        if self.use_ttransfer and self.patch_hot and self.NP_f:
+            acc = self._restrict_patches_t(rf, dtype)
+        else:
+            acc = jnp.zeros(self.n_slots_c, dtype)
+            rp = (
+                unpack_patches(rf, self.D_f, self.NP_f, S_f) if self.NP_f else None
+            )
+            if cop.NP and self.NP_f:
+                acc_p = jnp.zeros((cop.NP, S_c, S_c, S_c), dtype)
+                for (fidx, cidx, child_rows), (ox, oy, oz) in zip(
+                    self.patch_buckets, self.patch_offsets
+                ):
+                    v = self._interp_sub_t(rp[fidx])
+                    # every coarse patch has at most ONE fine child per octant
+                    # (verified at build time), so the octant-window update is
+                    # a block-row GATHER + static-window add instead of an
+                    # element-priced window scatter
+                    vpad = jnp.concatenate(
+                        [v, jnp.zeros((1, sub, sub, sub), dtype)], axis=0
+                    )
+                    g = vpad[child_rows]
+                    acc_p = acc_p.at[
+                        :, ox : ox + sub, oy : oy + sub, oz : oz + sub
+                    ].add(g)
+                if self.id_bucket is not None:
+                    fidx, cidx = self.id_bucket
+                    acc_p = acc_p.at[cidx].add(rp[fidx])
+                acc = cop._with_patches(acc, acc_p)
+            if self.irr_patch is not None:
+                fidx, sub_slots = self.irr_patch
+                v = self._interp_sub_t(rp[fidx]).reshape(len(sub_slots), -1)
+                acc = acc.at[sub_slots.reshape(-1)].add(v.reshape(-1))
+            if self.irr_id is not None:
+                fidx, slots = self.irr_id
+                acc = acc.at[slots.reshape(-1)].add(rp[fidx].reshape(-1))
         if self.NS_f:
             rs = unpack_singles(
                 rf, self.D_f, self.NP_f, S_f, self.NS_f, self.nloc_f
@@ -205,9 +313,9 @@ jax.tree_util.register_dataclass(
     data_fields=[
         "coarse_op", "fine_constrained_keep", "fine_owner", "E1",
         "patch_buckets", "id_bucket", "irr_patch", "irr_id", "single_buckets",
-        "single_fast",
+        "single_fast", "patch_hot",
     ],
-    meta_fields=["patch_offsets", "S_f", "S_c", "sub", "NP_f", "NS_f", "nloc_f", "n_slots_f", "n_slots_c", "D_f", "ls_mode"],
+    meta_fields=["patch_offsets", "S_f", "S_c", "sub", "NP_f", "NS_f", "nloc_f", "n_slots_f", "n_slots_c", "D_f", "ls_mode", "use_ttransfer"],
 )
 
 
@@ -456,6 +564,23 @@ def make_hybrid_transfer(
         rows[c] = np.arange(len(f))
         return rows
 
+    # one-hot [NP_c, NP_f] routing matrices for the transposed transfer
+    # (bounded: surface-sized tables only)
+    patch_hot = ()
+    if (
+        patch_buckets
+        and coarse_fmt.n_patches * fine_fmt.n_patches <= 4_000_000
+    ):
+        hot = []
+        for f, c, off in patch_buckets:
+            H = np.zeros((coarse_fmt.n_patches, fine_fmt.n_patches), np.float32)
+            H[c, f] = 1.0
+            hot.append(to_device(H, dtype))
+        patch_hot = tuple(hot)
+    import os as _os
+
+    use_ttransfer = bool(int(_os.environ.get("MGTPU_TTRANSFER", "0")))
+
     return HybridTransfer(
         coarse_op=coarse_op,
         fine_constrained_keep=fine_op.constrained_keep,
@@ -491,6 +616,8 @@ def make_hybrid_transfer(
         n_slots_c=coarse_fmt.n_slots,
         D_f=fine_fmt.n_shards,
         ls_mode=ls_mode,
+        patch_hot=patch_hot,
+        use_ttransfer=use_ttransfer,
     )
 
 

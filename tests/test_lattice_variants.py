@@ -58,6 +58,30 @@ def test_variants_match_baseline(geom, r, p, expect_cross):
         assert checked_cross, "no level exercised the cross-exchange path"
 
 
+@pytest.mark.parametrize("geom,r,p", [("quadrant", 4, 2), ("quadrant", 5, 3)])
+def test_ttransfer_matches_baseline(geom, r, p):
+    from dealii_multigrid_tpu.ops.hybrid_transfer import make_hybrid_transfer
+
+    levels = _levels(geom, r, p, jnp.float64)
+    rng = np.random.default_rng(11)
+    hit = False
+    for lc, lf in zip(levels[:-1], levels[1:]):
+        tr = make_hybrid_transfer(lf.fmt, lc.fmt, lf.op, lc.op, jnp.float64)
+        if not tr.patch_hot:
+            continue
+        trt = dataclasses.replace(tr, use_ttransfer=True)
+        uc = jnp.asarray(rng.standard_normal(lc.op.n_slots), jnp.float64)
+        rf = jnp.asarray(rng.standard_normal(lf.op.n_slots), jnp.float64)
+        a_p, b_p = np.asarray(tr.prolong(uc)), np.asarray(trt.prolong(uc))
+        np.testing.assert_allclose(b_p, a_p, rtol=0,
+                                   atol=1e-12 * max(np.abs(a_p).max(), 1))
+        a_r, b_r = np.asarray(tr.restrict(rf)), np.asarray(trt.restrict(rf))
+        np.testing.assert_allclose(b_r, a_r, rtol=0,
+                                   atol=1e-12 * max(np.abs(a_r).max(), 1))
+        hit = True
+    assert hit, "no transfer with patch buckets exercised"
+
+
 def test_row_ssweep_matches_lattice_path():
     # force the non-cross branch to compare _ssweep_rows against the
     # lattice sweeps on a level that has singleton neighbours
