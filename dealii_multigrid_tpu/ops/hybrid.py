@@ -1045,16 +1045,32 @@ class HybridOperator:
             if self.sf_patch[i] is not None:
                 _face, src, mask = self.sf_patch[i]
                 # read whole patch-face planes via axis slice + block-row
-                # gather; group concat order matches the combined tables
-                rp = self._patches(r)
-                plane = jnp.concatenate(
-                    [
-                        rp[_face_slicer(S, d, side)][fidx]
-                        for fidx, (d, side, _c) in zip(
-                            self.sf_patch_rows[i], self.sf_patch_rows_meta[i]
-                        )
-                    ]
-                ) * mask.astype(r.dtype)
+                # gather; group concat order matches the combined tables.
+                # use_tstencil mode gathers the bucket ROWS from the 2D form
+                # first, so only [n_rows, S, S, S] — not the whole bucket —
+                # materialises in the (8,128)-padded lattice layout
+                if self.use_tstencil:
+                    rp2 = self._patches2d(r)
+                    plane = jnp.concatenate(
+                        [
+                            rp2[fidx].reshape(-1, S, S, S)[
+                                (slice(None),) + _face_slicer(S, d, side)[1:]
+                            ]
+                            for fidx, (d, side, _c) in zip(
+                                self.sf_patch_rows[i], self.sf_patch_rows_meta[i]
+                            )
+                        ]
+                    ) * mask.astype(r.dtype)
+                else:
+                    rp = self._patches(r)
+                    plane = jnp.concatenate(
+                        [
+                            rp[_face_slicer(S, d, side)][fidx]
+                            for fidx, (d, side, _c) in zip(
+                                self.sf_patch_rows[i], self.sf_patch_rows_meta[i]
+                            )
+                        ]
+                    ) * mask.astype(r.dtype)
                 tmp = jnp.einsum("nij,is->nsj", plane, E1, precision=HIGHEST)
                 contrib = jnp.einsum("nsj,jt->nst", tmp, E1, precision=HIGHEST)
                 idxs.append(src.reshape(-1))
