@@ -1356,7 +1356,25 @@ class HybridOperator:
         elif self.use_cross:
             r = self._exchange_cross(r)
         else:
-            if self.NP:
+            if self.NP and self.use_texchange and self.pnbr_P is not None:
+                # transposed plain patch sweeps: leading-axis face slices +
+                # one-hot neighbour GEMMs on [S, S, S, NP] (LS level meshes
+                # are all-patch, no cross tables — this is their hot path)
+                S = self.S
+                P = self.pnbr_P.astype(r.dtype)
+                ut = self._patches2d(r).T.reshape(S, S, S, self.NP)
+                for g in range(3):
+                    sl_lo = tuple(0 if a == g else slice(None) for a in range(3))
+                    sl_hi = tuple(
+                        (S - 1) if a == g else slice(None) for a in range(3)
+                    )
+                    p_lo, p_hi = ut[sl_lo], ut[sl_hi]
+                    add_lo = jnp.matmul(p_hi, P[2 * g], precision=HIGHEST)
+                    add_hi = jnp.matmul(p_lo, P[2 * g + 1], precision=HIGHEST)
+                    ut = ut.at[sl_lo].add(add_lo)
+                    ut = ut.at[sl_hi].add(add_hi)
+                r = self._with_patches2d(r, ut.reshape(S**3, self.NP).T)
+            elif self.NP:
                 up = sweeps(self._patches(r), self.nbr, self.nbr_mask, self.S)
                 r = self._with_patches(r, up)
             if self.NS and self.use_ssweep and self.use_row_single:

@@ -94,9 +94,11 @@ def test_row_ssweep_matches_lattice_path():
             continue
         base = dataclasses.replace(op, use_cross=False)
         var = dataclasses.replace(op, use_cross=False, use_row_single=True)
+        vart = dataclasses.replace(var, use_texchange=True)
         r_in = jnp.asarray(rng.standard_normal(op.n_slots), jnp.float64)
         a = np.asarray(base.exchange(r_in))
-        b = np.asarray(var.exchange(r_in))
-        np.testing.assert_allclose(b, a, rtol=0, atol=1e-12 * np.abs(a).max())
+        for v in (var, vart):
+            b = np.asarray(v.exchange(r_in))
+            np.testing.assert_allclose(b, a, rtol=0, atol=1e-12 * np.abs(a).max())
         hit = True
     assert hit
