@@ -133,6 +133,21 @@ def main():
             t = timeit_looped(f, op, x)
             print(f"  {name:16s} {t*1e3:8.3f} ms", flush=True)
 
+    # transfer variants on the same two levels
+    from dealii_multigrid_tpu.ops.hybrid_transfer import make_hybrid_transfer
+
+    lis = sorted(levels)
+    lc, lf = levels[lis[0]], levels[lis[1]]
+    tr = make_hybrid_transfer(lf.fmt, lc.fmt, lf.op, lc.op, jnp.float32)
+    uc = jnp.asarray(rng.standard_normal(lc.op.n_slots), jnp.float32)
+    rf = jnp.asarray(rng.standard_normal(lf.op.n_slots), jnp.float32)
+    for name, t in (("base", tr),
+                    ("ttransfer", dataclasses.replace(tr, use_ttransfer=True))):
+        tt = timeit_looped(lambda o, v: o.restrict(v), t, rf)
+        print(f"restrict[{name:9s}] {tt*1e3:8.3f} ms", flush=True)
+        tt = timeit_looped(lambda o, v: o.prolong(v), t, uc)
+        print(f"prolong [{name:9s}] {tt*1e3:8.3f} ms", flush=True)
+
 
 if __name__ == "__main__":
     main()
