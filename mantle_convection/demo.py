@@ -1,0 +1,275 @@
+"""Boussinesq convection demo on the Taylor-Hood Stokes slice.
+
+The reference ships mantle convection only as a README pointer to an
+external ASPECT fork (reference: mantle-convection/README.md); this demo
+goes one step further and actually drives the in-repo Stokes solver
+(models/stokes.py: Q2-Q1 block operator, MINRES, block-diagonal GMG/mass
+preconditioner) through a small buoyancy-driven convection loop:
+
+  1. buoyancy RHS  f = (0, 0, Ra * T) lumped onto the Q2 velocity space
+  2. Stokes solve  [[A, B^T], [B, 0]] (u, p) = (f, 0)  by preconditioned
+     MINRES (bounded iterations — the measured preconditioned spectrum)
+  3. temperature advection: semi-Lagrangian trilinear transport of the Q1
+     nodal field on the hypercube's regular node lattice (max-principle
+     preserving by construction), plus explicit lumped-mass diffusion via
+     the matrix-free Q1 Laplacian
+  4. re-imposed Dirichlet temperature (hot floor T=1, cold lid T=0)
+
+Everything inside a step that touches device data is jittable array math;
+the loop runs on CPU or TPU unchanged.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dealii_multigrid_tpu.mesh import generators
+from dealii_multigrid_tpu.mesh.dof import (
+    distribute_dofs,
+    make_hanging_node_constraints,
+)
+from dealii_multigrid_tpu.models.stokes import (
+    build_stokes,
+    minres_solve,
+    project_pressure_mean,
+)
+from dealii_multigrid_tpu.ops import tensor
+from dealii_multigrid_tpu.ops.operator import make_operator
+from dealii_multigrid_tpu.utils.device import to_device
+from dealii_multigrid_tpu.utils.params import MultigridParameters
+
+
+def _lattice_map(points: np.ndarray, h: float) -> tuple[np.ndarray, int]:
+    """Map node coords on a regular lattice to flat indices; returns
+    (dof -> lattice flat index, nodes per axis)."""
+    idx = np.rint(points / h).astype(np.int64)
+    n = int(idx.max()) + 1
+    return (idx[:, 0] * n + idx[:, 1]) * n + idx[:, 2], n
+
+
+def _trilinear(grid: jax.Array, pts: jax.Array, h: float) -> jax.Array:
+    """grid [N, N, N] nodal values (lattice spacing h, origin 0) sampled at
+    pts [m, 3] with clamping (max-principle preserving)."""
+    N = grid.shape[0]
+    g = pts / h
+    i0 = jnp.clip(jnp.floor(g).astype(jnp.int32), 0, N - 2)
+    f = jnp.clip(g - i0, 0.0, 1.0).astype(grid.dtype)
+    ix, iy, iz = i0[:, 0], i0[:, 1], i0[:, 2]
+    fx, fy, fz = f[:, 0], f[:, 1], f[:, 2]
+
+    def at(dx, dy, dz):
+        return grid[ix + dx, iy + dy, iz + dz]
+
+    c00 = at(0, 0, 0) * (1 - fz) + at(0, 0, 1) * fz
+    c01 = at(0, 1, 0) * (1 - fz) + at(0, 1, 1) * fz
+    c10 = at(1, 0, 0) * (1 - fz) + at(1, 0, 1) * fz
+    c11 = at(1, 1, 0) * (1 - fz) + at(1, 1, 1) * fz
+    c0 = c00 * (1 - fy) + c01 * fy
+    c1 = c10 * (1 - fy) + c11 * fy
+    return c0 * (1 - fx) + c1 * fx
+
+
+@dataclass
+class ConvectionDemo:
+    op: object
+    precond: object
+    lap_q1: object            # matrix-free Q1 Laplacian (diffusion)
+    T: jax.Array              # [n_p] nodal temperature (Q1)
+    # static/meta
+    n_v: int
+    n_p: int
+    h: float
+    N1: int                   # Q1 nodes per axis
+    q1_lat: jax.Array         # [n_p] Q1 dof -> lattice flat index
+    q1_pts: jax.Array         # [n_p, 3]
+    q2_pts: jax.Array         # [n_v, 3]
+    lump_v: jax.Array         # [n_v] lumped Q2 mass
+    inv_lump_p: jax.Array     # [n_p] inverse lumped Q1 mass
+    keep_v: jax.Array         # [3 n_v]
+    bottom: jax.Array         # [n_p] bool masks (z extremes)
+    top: jax.Array
+    Ra: float
+    kappa: float
+    cfl: float
+
+    def _grid(self, T: jax.Array) -> jax.Array:
+        return jnp.zeros(self.N1**3, T.dtype).at[self.q1_lat].set(T).reshape(
+            self.N1, self.N1, self.N1
+        )
+
+    def step(self, T: jax.Array, maxiter: int = 400, rtol: float = 1e-6):
+        """One Boussinesq step; returns (T_new, u, stats)."""
+        dtype = T.dtype
+        # 1. buoyancy RHS on the velocity space (z-component)
+        grid = self._grid(T)
+        T_q2 = _trilinear(grid, self.q2_pts, self.h)
+        fz = self.Ra * T_q2 * self.lump_v * self.keep_v[2 * self.n_v :]
+        rhs = jnp.concatenate(
+            [jnp.zeros(2 * self.n_v, dtype), fz, jnp.zeros(self.n_p, dtype)]
+        )
+        # 2. Stokes solve
+        x, its, res = minres_solve(
+            self.op.vmult, rhs, self.precond.vmult,
+            maxiter=maxiter, reltol=rtol,
+        )
+        conv = its < maxiter
+        x = project_pressure_mean(x, self.n_v, self.n_p)
+        u = x[: 3 * self.n_v]
+        # 3. semi-Lagrangian advection on the Q1 lattice
+        u_q1 = jnp.stack(
+            [
+                _trilinear(
+                    self._grid_from_q2(u[c * self.n_v : (c + 1) * self.n_v]),
+                    self.q1_pts, self.h,
+                )
+                for c in range(3)
+            ],
+            axis=1,
+        )  # [n_p, 3]
+        umax = jnp.max(jnp.abs(u_q1))
+        dt = self.cfl * self.h / jnp.maximum(umax, 1e-12)
+        dep = jnp.clip(
+            self.q1_pts.astype(dtype) - dt * u_q1, 0.0, self.h * (self.N1 - 1)
+        )
+        T_adv = _trilinear(grid, dep, self.h)
+        # 4. explicit diffusion (lumped mass) + Dirichlet floor/lid
+        T_new = T_adv - dt * self.kappa * self.inv_lump_p * self.lap_q1.vmult(
+            T_adv
+        )
+        T_new = jnp.where(self.bottom, 1.0, jnp.where(self.top, 0.0, T_new))
+        stats = {
+            "iterations": its,
+            "converged": conv,
+            "residual": res,
+            "umax": umax,
+            "dt": dt,
+        }
+        return T_new, u, stats
+
+    def _grid_from_q2(self, uc: jax.Array) -> jax.Array:
+        # Q2 nodal values sampled onto the Q1 lattice: Q1 nodes are a subset
+        # of Q2 nodes, selected by the precomputed map
+        return jnp.zeros(self.N1**3, uc.dtype).at[self.q1_lat].set(
+            uc[self.q2_at_q1]
+        ).reshape(self.N1, self.N1, self.N1)
+
+    # populated in build (jax arrays are data; this dataclass is host-side)
+    q2_at_q1: jax.Array = None
+
+
+def build_convection_demo(
+    r: int = 2, Ra: float = 1e3, kappa: float = 1e-2, cfl: float = 0.5,
+    dtype=jnp.float64,
+):
+    mesh = generators.create("hypercube", 3, r, 0)
+    mg_data = MultigridParameters()
+    mg_data.smoother.degree = 3
+    op, precond, aux = build_stokes(mesh, mg_data, dtype)
+    dofh_v, dofh_p = aux["dofh_v"], aux["dofh_p"]
+    h = float(mesh.h(int(mesh.level.max())))
+
+    q1_lat, N1 = _lattice_map(dofh_p.points, h)
+    # Q2 dofs that sit on Q1 lattice nodes (vertex subset)
+    q2_lat2, N2 = _lattice_map(dofh_v.points, h / 2)
+    vert = np.full(N1**3, -1, np.int64)
+    idx2 = np.rint(dofh_v.points / (h / 2)).astype(np.int64)
+    on_vertex = (idx2 % 2 == 0).all(axis=1)
+    vi = idx2[on_vertex] // 2
+    vert[(vi[:, 0] * N1 + vi[:, 1]) * N1 + vi[:, 2]] = np.nonzero(on_vertex)[0]
+    assert (vert >= 0).all()
+    # q2 dof per Q1 dof (via lattice)
+    q2_at_q1 = vert[q1_lat]
+
+    # lumped Q2 mass (row sums of the exact element mass, assembled)
+    m1 = tensor.mass_matrix_1d(2)
+    row1 = m1.sum(axis=1)
+    rows3 = np.kron(np.kron(row1, row1), row1)  # unit-cell row sums, x fastest
+    h3 = mesh.h(mesh.level) ** 3
+    lump_v = np.zeros(dofh_v.n_dofs)
+    np.add.at(
+        lump_v, dofh_v.cell_dofs.reshape(-1),
+        (h3[:, None] * rows3[None, :]).reshape(-1),
+    )
+    m1p = tensor.mass_matrix_1d(1)
+    row1p = m1p.sum(axis=1)
+    rows3p = np.kron(np.kron(row1p, row1p), row1p)
+    lump_p = np.zeros(dofh_p.n_dofs)
+    np.add.at(
+        lump_p, dofh_p.cell_dofs.reshape(-1),
+        (h3[:, None] * rows3p[None, :]).reshape(-1),
+    )
+
+    hang_p = make_hanging_node_constraints(dofh_p)
+    lap_q1 = make_operator(dofh_p, hang_p, dtype=dtype)
+
+    zmax = dofh_p.points[:, 2].max()
+    bottom = dofh_p.points[:, 2] < 1e-12
+    top = dofh_p.points[:, 2] > zmax - 1e-12
+
+    # initial temperature: conductive profile + a small symmetric-breaking
+    # perturbation (classic Rayleigh-Benard start)
+    z = dofh_p.points[:, 2] / zmax
+    x_ = dofh_p.points[:, 0] / zmax
+    T0 = (1.0 - z) + 0.05 * np.cos(np.pi * x_) * np.sin(np.pi * z)
+    T0[bottom] = 1.0
+    T0[top] = 0.0
+
+    demo = ConvectionDemo(
+        op=op,
+        precond=precond,
+        lap_q1=lap_q1,
+        T=to_device(T0, dtype),
+        n_v=dofh_v.n_dofs,
+        n_p=dofh_p.n_dofs,
+        h=h,
+        N1=N1,
+        q1_lat=to_device(q1_lat, jnp.int32),
+        q1_pts=to_device(dofh_p.points, dtype),
+        q2_pts=to_device(dofh_v.points, dtype),
+        lump_v=to_device(lump_v, dtype),
+        inv_lump_p=to_device(1.0 / lump_p, dtype),
+        keep_v=op.keep_v,
+        bottom=to_device(bottom, jnp.bool_),
+        top=to_device(top, jnp.bool_),
+        Ra=Ra,
+        kappa=kappa,
+        cfl=cfl,
+        q2_at_q1=to_device(q2_at_q1, jnp.int32),
+    )
+    return demo
+
+
+def run_demo(r: int = 2, n_steps: int = 3, **kw):
+    demo = build_convection_demo(r, **kw)
+    T = demo.T
+    history = []
+    for _ in range(n_steps):
+        T, u, stats = demo.step(T)
+        history.append(
+            {
+                "iterations": int(stats["iterations"]),
+                "converged": bool(stats["converged"]),
+                "umax": float(stats["umax"]),
+                "dt": float(stats["dt"]),
+                "T_min": float(T.min()),
+                "T_max": float(T.max()),
+                # Nusselt-style proxy: mean vertical advective heat flux
+                "wT": float(
+                    jnp.mean(
+                        u[2 * demo.n_v : 3 * demo.n_v][demo.q2_at_q1]
+                        * T
+                    )
+                ),
+            }
+        )
+    return demo, T, history
+
+
+if __name__ == "__main__":
+    _, _, hist = run_demo()
+    for i, row in enumerate(hist):
+        print(i, row)
