@@ -1691,11 +1691,17 @@ def make_hybrid_operator(
         for row in range(6):
             ok = fmt.nbr[row] >= 0
             pnbr_P[row][np.maximum(fmt.nbr[row], 0)[ok], cols[ok]] = 1.0
-    import os as _os
+    from ..utils.flags import variant_flag
 
-    use_row_single = bool(int(_os.environ.get("MGTPU_ROW_SINGLE", "0")))
-    use_tstencil = bool(int(_os.environ.get("MGTPU_TSTENCIL", "0")))
-    use_texchange = bool(int(_os.environ.get("MGTPU_TEXCHANGE", "0")))
+    use_row_single = variant_flag(
+        "MGTPU_ROW_SINGLE", np=fmt.n_patches, ns=fmt.n_singles
+    )
+    use_tstencil = variant_flag(
+        "MGTPU_TSTENCIL", np=fmt.n_patches, ns=fmt.n_singles
+    )
+    use_texchange = variant_flag(
+        "MGTPU_TEXCHANGE", np=fmt.n_patches, ns=fmt.n_singles
+    )
 
     return HybridOperator(
         KS=to_device(KS, dtype),

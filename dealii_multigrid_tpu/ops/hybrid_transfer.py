@@ -577,9 +577,13 @@ def make_hybrid_transfer(
             H[c, f] = 1.0
             hot.append(to_device(H, dtype))
         patch_hot = tuple(hot)
-    import os as _os
+    from ..utils.flags import variant_flag
 
-    use_ttransfer = bool(int(_os.environ.get("MGTPU_TTRANSFER", "0")))
+    use_ttransfer = variant_flag(
+        "MGTPU_TTRANSFER",
+        np=fine_fmt.n_patches,
+        nc=coarse_fmt.n_patches,
+    )
 
     return HybridTransfer(
         coarse_op=coarse_op,

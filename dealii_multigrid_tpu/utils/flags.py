@@ -1,0 +1,75 @@
+"""Shape-conditional parsing for the lane-dense engine variant flags.
+
+The round-3c variants (DESIGN.md: patch-minor stencil, whole-row
+singletons, transposed exchange/transfer) trade the (8, 128) tile-padding
+tax for extra data movement, so whether each wins depends on the level
+SHAPE (patch count on the lanes, singleton population).  The production
+flags therefore accept, besides plain "0"/"1", shape conditions evaluated
+per operator/transfer build:
+
+    MGTPU_TSTENCIL="np>=256"        # on for levels with >= 256 patches
+    MGTPU_ROW_SINGLE="ns>=4096"     # on where singletons dominate
+    MGTPU_TTRANSFER="np>=256,nc>=64"  # OR-joined clauses
+
+Keys: np = patch count (fine side for transfers), ns = singleton count,
+nc = coarse-side patch count (transfers only).  This keeps the per-level
+flag policy a pure configuration decision once the TPU measurements pick
+the winners (RESULTS.md round-3c).
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+_COND = re.compile(r"^(np|nc|ns)\s*(>=|<=|>|<)\s*(\d+)$")
+
+# Measured production defaults (env still overrides — set the var to "0" to
+# force a variant off, "1" to force it on everywhere).  Populated from the
+# round-3c TPU measurement session; empty string = off by default.
+DEFAULT_POLICY: dict[str, str] = {
+    "MGTPU_TSTENCIL": "",
+    "MGTPU_ROW_SINGLE": "",
+    "MGTPU_TEXCHANGE": "",
+    "MGTPU_TTRANSFER": "",
+}
+
+
+def variant_flag(env_name: str, **dims) -> bool:
+    """Evaluate a variant flag for an operator with the given dimensions.
+
+    Unset falls back to the measured DEFAULT_POLICY; "" and "0" mean off;
+    "1" means on everywhere; otherwise the value is a comma-separated (OR)
+    list of conditions ``{np|nc|ns} {>=, <=, >, <} N`` checked against
+    ``dims``.  Unknown dimension keys in a condition make that clause false
+    (so one policy string can serve both operators and transfers).
+    Malformed syntax raises ValueError rather than silently running the
+    wrong engine.
+    """
+    val = os.environ.get(env_name)
+    if val is None:
+        val = DEFAULT_POLICY.get(env_name, "")
+    val = val.strip()
+    if val in ("", "0"):
+        return False
+    if val == "1":
+        return True
+    for clause in val.split(","):
+        m = _COND.match(clause.strip())
+        if m is None:
+            raise ValueError(
+                f"{env_name}: bad variant-flag clause {clause!r} "
+                "(want 0, 1, or e.g. 'np>=256')"
+            )
+        key, op, num = m.group(1), m.group(2), int(m.group(3))
+        x = dims.get(key)
+        if x is None:
+            continue
+        if (
+            (op == ">=" and x >= num)
+            or (op == "<=" and x <= num)
+            or (op == ">" and x > num)
+            or (op == "<" and x < num)
+        ):
+            return True
+    return False

@@ -102,3 +102,36 @@ def test_row_ssweep_matches_lattice_path():
             np.testing.assert_allclose(b, a, rtol=0, atol=1e-12 * np.abs(a).max())
         hit = True
     assert hit
+
+
+def test_variant_flag_grammar(monkeypatch):
+    from dealii_multigrid_tpu.utils.flags import variant_flag
+
+    monkeypatch.delenv("MGTPU_X", raising=False)
+    assert variant_flag("MGTPU_X", np=512) is False
+    monkeypatch.setenv("MGTPU_X", "0")
+    assert variant_flag("MGTPU_X", np=512) is False
+    monkeypatch.setenv("MGTPU_X", "1")
+    assert variant_flag("MGTPU_X", np=512) is True
+    monkeypatch.setenv("MGTPU_X", "np>=256")
+    assert variant_flag("MGTPU_X", np=512, ns=0) is True
+    assert variant_flag("MGTPU_X", np=64, ns=9999) is False
+    # unknown dimension keys make the clause false, OR across clauses
+    monkeypatch.setenv("MGTPU_X", "nc>=1,ns>4000")
+    assert variant_flag("MGTPU_X", np=512, ns=4001) is True
+    assert variant_flag("MGTPU_X", np=512, ns=4000) is False
+    monkeypatch.setenv("MGTPU_X", "banana")
+    with pytest.raises(ValueError):
+        variant_flag("MGTPU_X", np=1)
+
+
+def test_shape_conditional_flags_build_per_level(monkeypatch):
+    # a threshold policy must flip flags level-by-level at build time
+    monkeypatch.setenv("MGTPU_TSTENCIL", "np>=16")
+    levels = _levels("quadrant", 4, 2, jnp.float64)
+    flags = [lv.op.use_tstencil for lv in levels if lv.op.NS]
+    nps = [lv.op.NP for lv in levels if lv.op.NS]
+    assert flags == [n >= 16 for n in nps]
+    assert any(flags) and not all(flags), (
+        "test mesh should straddle the np>=16 threshold; got NP=" + str(nps)
+    )
