@@ -88,6 +88,43 @@ def main() -> int:
     except Exception as e:  # pragma: no cover - keep the headline row alive
         mixed = {"mixed_error": f"{type(e).__name__}: {e}"}
 
+    # third row: NumberType=df32 — the TPU-native double-single (f32x2)
+    # outer CG (solvers/twofloat.py): the same double/float precision
+    # boundary as the mixed row with NO emulated f64 on the device.
+    df32 = {}
+    try:
+        import jax.numpy as jnp
+
+        from dealii_multigrid_tpu import api as _api
+        from dealii_multigrid_tpu.solvers import twofloat as _tf
+        from dealii_multigrid_tpu.solvers.multigrid import PreconditionMG
+
+        import numpy as np
+
+        fine = levels[-1]
+        # f64-accurate RHS pair when the mixed row built one; otherwise the
+        # f32 RHS splits exactly as (rhs, 0)
+        b_src = rhs64 if "mixed_throughput" in mixed else result.rhs_used
+        b_pair = _tf.tf_split_f64_host(np.asarray(b_src, np.float64))
+        res_d = _api.mg_solve(
+            fine.op,
+            b_pair,
+            PreconditionMG(result.mg, jnp.float32),
+            params.mg_data,
+            n_levels=result.n_levels,
+            dot=True,
+            n_dofs=fine.dofh.n_dofs,
+            df32=True,
+        )
+        df32 = {
+            "df32_throughput": res_d.throughput,
+            "df32_n_iterations": res_d.n_iterations,
+            "df32_converged": res_d.converged,
+            "df32_solve_time_s": res_d.time,
+        }
+    except Exception as e:  # pragma: no cover - keep the headline row alive
+        df32 = {"df32_error": f"{type(e).__name__}: {e}"}
+
     per_chip_baseline = 2.0e9 / 16.0
     out = {
         "metric": "mg_cg_throughput_quadrant_p4_1chip",
@@ -102,6 +139,7 @@ def main() -> int:
         "n_levels": result.n_levels,
         "device": str(jax.devices()[0].device_kind),
         **mixed,
+        **df32,
     }
     print(json.dumps(out))
     return 0

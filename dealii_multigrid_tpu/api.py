@@ -43,6 +43,11 @@ _DTYPES = {
     # operator application (v5e has no native f64 matmul path; this recovers
     # the double-outer iteration counts at f32 compute cost)
     "mixed": jnp.float64,
+    # TPU-native extension: double-single (f32x2) compensated outer Krylov
+    # vectors around the f32 operator — the same precision boundary as
+    # "mixed" with NO emulated f64 on the device (solvers/twofloat.py);
+    # vectors round to f32 at the API surface
+    "df32": jnp.float32,
 }
 
 
@@ -202,6 +207,7 @@ def mg_solve(
     dot=None,  # truthy => use fine_op.dot (ownership-masked)
     n_dofs: int | None = None,
     host_loop: bool = False,
+    df32: bool = False,
 ) -> MGSolveResult:
     """Warm-up solve + best-of-n_repetitions timed CG, the reference's
     benchmark protocol (multigrid_throughput.cc:1140-1268).
@@ -220,7 +226,45 @@ def mg_solve(
     )
     use_op_dot = dot is not None
 
-    if host_loop:
+    if df32:
+        # double-single outer vectors (NumberType=df32): rhs is a twofloat.TF
+        # pair; the operator and preconditioner apply in plain f32
+        from .solvers import twofloat as _tf
+
+        _force = (
+            mg_data.cg_parameter_study.maxiter
+            if mg_data.do_parameter_study
+            else None
+        )
+        if host_loop:
+
+            def solve(fop, precond, b):
+                return _tf.cg_solve_host_df32(
+                    fop,
+                    b,
+                    preconditioner=precond,
+                    maxiter=ctrl.maxiter,
+                    abstol=ctrl.abstol,
+                    reltol=ctrl.reltol,
+                    force_iterations=_force,
+                    use_weight=use_op_dot,
+                )
+        else:
+
+            @jax.jit
+            def solve(fop, precond, b):
+                return _tf.cg_solve_df32(
+                    fop.vmult,
+                    b,
+                    preconditioner=precond.vmult,
+                    maxiter=ctrl.maxiter,
+                    abstol=ctrl.abstol,
+                    reltol=ctrl.reltol,
+                    force_iterations=_force,
+                    weight=fop.owner if use_op_dot else None,
+                )
+
+    elif host_loop:
         from .solvers.cg import cg_solve_host
 
         def solve(fop, precond, b):
@@ -279,24 +323,53 @@ def mg_solve(
         # programs (see docstring).  Single-application programs are bit-exact,
         # so recompute ||b - A x|| in its own program and require agreement
         # with the loop's residual.  Runs once, outside the timed loop.
-        @jax.jit
-        def _true_residual(fop, b, x):
-            r = b - fop.vmult(x)
-            d = fop.dot if use_op_dot else (lambda a, c: jnp.sum(a * c))
-            return jnp.sqrt(d(r, r).real)
+        if df32:
+            from .solvers import twofloat as _tf
+
+            @jax.jit
+            def _true_residual(fop, b, x):
+                ax = fop.vmult(_tf.tf_round(x))
+                r = _tf.tf_axpy_f32(jnp.float32(-1.0), ax, b)
+                return _tf.tf_norm(r, fop.owner if use_op_dot else None)
+
+        else:
+
+            @jax.jit
+            def _true_residual(fop, b, x):
+                r = b - fop.vmult(x)
+                d = fop.dot if use_op_dot else (lambda a, c: jnp.sum(a * c))
+                return jnp.sqrt(d(r, r).real)
 
         loop_res = float(res.residual_norm)
         true_res = float(_true_residual(fine_op, rhs, res.x))
-        scale = max(abs(loop_res), abs(true_res), 1e-300)
-        if true_res > 10.0 * loop_res + 1e-6 * scale and true_res > 1e-10:
+        norm_b = float(res.norm0)  # ||r0|| computed inside the solve program
+        # the attainable TRUE residual is floored by the precision the
+        # OPERATOR applies in (f32 for float/mixed/df32): below
+        # ~eps_op * ||A|| * ||x|| the recursion keeps contracting while
+        # ||b - A x|| stalls — expected mixed-precision CG behaviour, not a
+        # miscompile.  Flag only when the true residual misses the claimed
+        # convergence by 10x BEYOND that floor allowance.
+        inner_op = getattr(fine_op, "op", fine_op)
+        eps_op = float(jnp.finfo(getattr(inner_op, "dtype", jnp.float32)).eps)
+        floor = 1e4 * eps_op * norm_b
+        tol_abs = max(ctrl.abstol, ctrl.reltol * norm_b)
+        threshold = 10.0 * max(tol_abs, loop_res) + floor
+        if not mg_data.do_parameter_study and true_res > threshold:
             raise RuntimeError(
                 "while-loop residual disagrees with the recomputed residual "
-                f"(loop {loop_res:.3e} vs true {true_res:.3e}): suspected "
+                f"(loop {loop_res:.3e} vs true {true_res:.3e}, "
+                f"||b|| {norm_b:.3e}, allowance {threshold:.3e}): suspected "
                 "axon XLA while-loop miscompilation — rerun with "
                 "mg_solve(host_loop=True) (one jitted PCG step per iteration)"
             )
     if n_dofs is None:
-        n_dofs = rhs.shape[0]
+        n_dofs = rhs.shape[0] if not df32 else rhs.hi.shape[0]
+    if df32:
+        # round the double-single pair at the API surface (output rounding
+        # adds ~6e-8 relative — far below the f32 matvec floor)
+        from .solvers import twofloat as _tf
+
+        res = res._replace(x=_tf.tf_round(res.x))
     return MGSolveResult(
         x=res.x,
         n_iterations=n_it,
@@ -317,6 +390,11 @@ def solve_with_global_coarsening(
 ):
     """End-to-end PMG / HMG-global / HPMG solve (reference:
     multigrid_throughput.cc:1443-1666).  Returns (result, problem, levels)."""
+    if params.number_type == "df32":
+        raise ValueError(
+            "NumberType=df32 (double-single outer CG) is implemented on the "
+            "hybrid engine (3D); use NumberType=mixed on the gather engine"
+        )
     outer_dtype = number_dtype(params.number_type)
     level_dtype = number_dtype(params.mg_number_type)
 
@@ -360,6 +438,11 @@ def solve_with_amg(params: RunParameters, fine_mesh: AdaptiveMesh):
     """Single-level solve with an algebraic preconditioner (reference:
     solve_with_amg, multigrid_throughput.cc:1877-1966).  Here: CG
     preconditioned by the direct/algebraic coarse solver on the fine level."""
+    if params.number_type == "df32":
+        raise ValueError(
+            "NumberType=df32 is implemented on the hybrid engine solves; "
+            "use NumberType=mixed for AMG"
+        )
     outer_dtype = number_dtype(params.number_type)
     fine = build_level(fine_mesh, params.fe_degree_fine, outer_dtype)
     problem = poisson.make_problem(
@@ -620,6 +703,14 @@ def solve_with_global_coarsening_hybrid(
             if level_dtype == jnp.float32
             else _hy.make_hybrid_operator(fine.fmt, fine.hanging, dtype=jnp.float32)
         )
+    elif params.number_type == "df32":
+        # double-single outer vectors around the plain f32 operator
+        # (solvers/twofloat.py) — no wrapper, the pairs live in the CG
+        outer_op = (
+            fine.op
+            if level_dtype == jnp.float32
+            else _hy.make_hybrid_operator(fine.fmt, fine.hanging, dtype=jnp.float32)
+        )
     elif outer_dtype == level_dtype:
         outer_op = fine.op
     else:
@@ -641,8 +732,15 @@ def solve_with_global_coarsening_hybrid(
     fine_gop = make_operator(
         fine.dofh, fine.hanging, dtype=outer_dtype, device=False
     )
+    df32 = params.number_type == "df32"
     if params.number_type == "mixed":
         # mixed mode promises an f64-accurate RHS around the f32 operator
+        rhs_op = _hy.make_hybrid_operator(fine.fmt, fine.hanging, dtype=jnp.float64)
+    elif df32 and jax.config.jax_enable_x64:
+        # df32 mode keeps f64 OFF the iteration path, but when x64 is
+        # available the RHS (one-time setup) is assembled in f64 and split
+        # exactly into the double-single pair — the f32 RHS-assembly floor
+        # on L2 errors disappears without any f64 in the solve
         rhs_op = _hy.make_hybrid_operator(fine.fmt, fine.hanging, dtype=jnp.float64)
     else:
         rhs_op = getattr(outer_op, "op", outer_op)
@@ -655,11 +753,25 @@ def solve_with_global_coarsening_hybrid(
         fine_gop,
         params.simulation_type,
     )
-    rhs_slots = rhs_slots.astype(outer_dtype)
+    if df32:
+        from .solvers import twofloat as _tf
+
+        if rhs_slots.dtype == jnp.float64:
+            rhs_slots = _tf.tf_split_f64_host(rhs_slots)
+        else:
+            rhs_slots = _tf.tf_from_f32(rhs_slots)
+    else:
+        rhs_slots = rhs_slots.astype(outer_dtype)
     if dmesh is not None and fine.op.n_shards > 1:
         from .parallel import sharding as SH
 
-        rhs_slots = SH.shard_vector(rhs_slots, dmesh)
+        if df32:
+            rhs_slots = type(rhs_slots)(
+                SH.shard_vector(rhs_slots.hi, dmesh),
+                SH.shard_vector(rhs_slots.lo, dmesh),
+            )
+        else:
+            rhs_slots = SH.shard_vector(rhs_slots, dmesh)
 
     mg = build_gc_preconditioner_hybrid(levels, params.mg_data, level_dtype)
     precond = PreconditionMG(mg, outer_dtype)
@@ -671,9 +783,15 @@ def solve_with_global_coarsening_hybrid(
         n_levels=len(levels),
         dot=True,  # use the operator's ownership-masked dot
         n_dofs=fine.dofh.n_dofs,
+        df32=df32,
     )
     result.mg = mg
-    result.rhs_used = rhs_slots
+    if df32:
+        from .solvers import twofloat as _tf
+
+        result.rhs_used = _tf.tf_round(rhs_slots)
+    else:
+        result.rhs_used = rhs_slots
     result.n_shards = n_shards
     result.partitions = partitions
     # sub_comm_size analog: device count of the coarsest level (1 = the
@@ -720,6 +838,11 @@ def solve_with_local_smoothing(params: RunParameters, fine_mesh: AdaptiveMesh):
     patch-friendly); 2D uses the gather engine."""
     if params.dim == 3:
         return solve_with_local_smoothing_hybrid(params, fine_mesh)
+    if params.number_type == "df32":
+        raise ValueError(
+            "NumberType=df32 is implemented on the hybrid engine (3D); "
+            "use NumberType=mixed in 2D"
+        )
     outer_dtype = number_dtype(params.number_type)
     level_dtype = number_dtype(params.mg_number_type)
     p = params.fe_degree_fine
@@ -816,8 +939,15 @@ def solve_with_local_smoothing_hybrid(
         fine = SH.place_hybrid_level(fine, dmesh)
     else:
         fine = build_level_hybrid(fine_mesh, p, level_dtype)
+    df32 = params.number_type == "df32"
     if params.number_type == "mixed":
         outer_op = MixedPrecisionOperator(
+            fine.op
+            if level_dtype == jnp.float32
+            else _hy.make_hybrid_operator(fine.fmt, fine.hanging, dtype=jnp.float32)
+        )
+    elif df32:
+        outer_op = (
             fine.op
             if level_dtype == jnp.float32
             else _hy.make_hybrid_operator(fine.fmt, fine.hanging, dtype=jnp.float32)
@@ -843,6 +973,9 @@ def solve_with_local_smoothing_hybrid(
     )
     if params.number_type == "mixed":
         rhs_op = _hy.make_hybrid_operator(fine.fmt, fine.hanging, dtype=jnp.float64)
+    elif df32 and jax.config.jax_enable_x64:
+        # setup-time f64 RHS split exactly into the double-single pair
+        rhs_op = _hy.make_hybrid_operator(fine.fmt, fine.hanging, dtype=jnp.float64)
     else:
         rhs_op = getattr(outer_op, "op", outer_op)
     problem, rhs_slots = poisson.assemble_problem_hybrid(
@@ -854,11 +987,25 @@ def solve_with_local_smoothing_hybrid(
         fine_gop,
         params.simulation_type,
     )
-    rhs_slots = rhs_slots.astype(outer_dtype)
+    if df32:
+        from .solvers import twofloat as _tf
+
+        if rhs_slots.dtype == jnp.float64:
+            rhs_slots = _tf.tf_split_f64_host(rhs_slots)
+        else:
+            rhs_slots = _tf.tf_from_f32(rhs_slots)
+    else:
+        rhs_slots = rhs_slots.astype(outer_dtype)
     if dmesh is not None and fine.op.n_shards > 1:
         from .parallel import sharding as SH
 
-        rhs_slots = SH.shard_vector(rhs_slots, dmesh)
+        if df32:
+            rhs_slots = type(rhs_slots)(
+                SH.shard_vector(rhs_slots.hi, dmesh),
+                SH.shard_vector(rhs_slots.lo, dmesh),
+            )
+        else:
+            rhs_slots = SH.shard_vector(rhs_slots, dmesh)
 
     if params.type == "HMG-local":
         lsmg = build_local_smoothing_mg_hybrid(
@@ -919,9 +1066,15 @@ def solve_with_local_smoothing_hybrid(
         # monolithic while_loop program miscompiles the LS V-cycle on the
         # axon TPU backend at production sizes (see mg_solve docstring)
         host_loop=(jax.default_backend() != "cpu"),
+        df32=df32,
     )
     result.mg = precond
-    result.rhs_used = rhs_slots
+    if df32:
+        from .solvers import twofloat as _tf
+
+        result.rhs_used = _tf.tf_round(rhs_slots)
+    else:
+        result.rhs_used = rhs_slots
     result.n_shards = n_shards
     # sub_comm_size analog: device count of the coarsest LS level
     result.sub_comm_size = lsmg.levels[0].op.n_shards

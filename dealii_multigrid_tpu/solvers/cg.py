@@ -21,6 +21,7 @@ class CGResult(NamedTuple):
     n_iterations: jax.Array  # i32 scalar
     residual_norm: jax.Array
     converged: jax.Array     # bool scalar
+    norm0: jax.Array | None = None  # ||r0|| (= ||b|| for x0=0); guard input
 
 
 def cg_solve(
@@ -84,7 +85,7 @@ def cg_solve(
 
     state = (x, r, z, z, rz, jnp.asarray(0, jnp.int32), norm0)
     x, r, z, p, rz, it, res = jax.lax.while_loop(cond, body, state)
-    return CGResult(x, it, res, res <= tol)
+    return CGResult(x, it, res, res <= tol, norm0)
 
 
 @partial(jax.jit, static_argnames=("use_op_dot",))
@@ -151,4 +152,5 @@ def cg_solve_host(
         jnp.asarray(it, jnp.int32),
         jnp.asarray(res, b.dtype),
         jnp.asarray(res <= tol),
+        norm0,
     )

@@ -80,7 +80,10 @@ class RunParameters:
     min_n_cells: int = -1
     dim: int = 3
     profile_phases: bool = False  # per-phase MG timing table (extra compiles)
-    number_type: str = "double"  # outer solve Number (reference: run<3,1,double,*>)
+    # outer solve Number (reference: run<3,1,double,*>); values: double |
+    # float | mixed (f64 vectors around the f32 operator) | df32 (TPU-native
+    # double-single f32x2 vectors, solvers/twofloat.py — no device f64)
+    number_type: str = "double"
     # TPU extension: shard the solve over this many devices (the mpirun -np N
     # analog); 0 = all available devices, 1 = single device
     n_shards: int = 1
