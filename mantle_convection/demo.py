@@ -7,8 +7,9 @@ goes one step further and actually drives the in-repo Stokes solver
 preconditioner) through a small buoyancy-driven convection loop:
 
   1. buoyancy RHS  f = (0, 0, Ra * T) lumped onto the Q2 velocity space
-  2. Stokes solve  [[A, B^T], [B, 0]] (u, p) = (f, 0)  by preconditioned
-     MINRES (bounded iterations — the measured preconditioned spectrum)
+  2. Stokes solve  [[A, B^T], [B, 0]] (u, p) = (f, 0)  by GMRES with the
+     block-triangular preconditioner (bounded iterations — the measured
+     preconditioned spectrum)
   3. temperature advection: semi-Lagrangian trilinear transport of the Q1
      nodal field on the hypercube's regular node lattice (max-principle
      preserving by construction), plus explicit lumped-mass diffusion via
@@ -34,9 +35,10 @@ from dealii_multigrid_tpu.mesh.dof import (
 )
 from dealii_multigrid_tpu.models.stokes import (
     build_stokes,
-    minres_solve,
     project_pressure_mean,
+    triangular_preconditioner,
 )
+from dealii_multigrid_tpu.solvers.gmres import gmres_solve
 from dealii_multigrid_tpu.ops import tensor
 from dealii_multigrid_tpu.ops.operator import make_operator
 from dealii_multigrid_tpu.utils.device import to_device
@@ -112,11 +114,14 @@ class ConvectionDemo:
             [jnp.zeros(2 * self.n_v, dtype), fz, jnp.zeros(self.n_p, dtype)]
         )
         # 2. Stokes solve
-        x, its, res = minres_solve(
+        # block-triangular GMRES: ~2x fewer outer iterations than the
+        # block-diagonal MINRES with the same blocks (models/stokes.py)
+        gres = gmres_solve(
             self.op.vmult, rhs, self.precond.vmult,
-            maxiter=maxiter, reltol=rtol,
+            m=60, maxiter=maxiter, reltol=rtol,
         )
-        conv = its < maxiter
+        x, its = gres.x, gres.n_iterations
+        conv = gres.converged
         x = project_pressure_mean(x, self.n_v, self.n_p)
         u = x[: 3 * self.n_v]
         # 3. semi-Lagrangian advection on the Q1 lattice
@@ -144,7 +149,7 @@ class ConvectionDemo:
         stats = {
             "iterations": its,
             "converged": conv,
-            "residual": res,
+            "residual": gres.residual_norm,
             "umax": umax,
             "dt": dt,
         }
@@ -168,7 +173,8 @@ def build_convection_demo(
     mesh = generators.create("hypercube", 3, r, 0)
     mg_data = MultigridParameters()
     mg_data.smoother.degree = 3
-    op, precond, aux = build_stokes(mesh, mg_data, dtype)
+    op, block, aux = build_stokes(mesh, mg_data, dtype)
+    precond = triangular_preconditioner(op, block)
     dofh_v, dofh_p = aux["dofh_v"], aux["dofh_p"]
     h = float(mesh.h(int(mesh.level.max())))
 
