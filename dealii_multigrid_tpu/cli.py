@@ -146,6 +146,9 @@ def main(argv: list[str] | None = None) -> int:
         return 1
     configs = [RunParameters.parse(path) for path in argv]
     if any(p.number_type in ("double", "mixed") or p.mg_number_type == "double"
+           # df32 solves never touch f64, but an error study wants the
+           # setup-time f64 RHS split (api: df32 + x64 => exact pair RHS)
+           or (p.number_type == "df32" and p.simulation_type == "Gaussian")
            for p in configs):
         import jax
 
