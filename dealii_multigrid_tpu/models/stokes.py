@@ -290,9 +290,14 @@ def minres_solve(
     return st[0], st[-1], jnp.abs(st[8])
 
 
-def assemble_pressure_mass(dofh_p: DoFHandler) -> sp.csr_matrix:
+def assemble_pressure_mass(
+    dofh_p: DoFHandler, cell_weights: np.ndarray | None = None
+) -> sp.csr_matrix:
     """Consistent Q_k pressure mass matrix (per-cell tensor products of 1D
-    integrals, exact on the uniform hexahedral mesh)."""
+    integrals, exact on the uniform hexahedral mesh).  ``cell_weights``
+    multiplies per cell — the 1/viscosity weighting that keeps the mass
+    spectrally equivalent to the Schur complement under variable viscosity
+    (models/nsinker.py)."""
     mesh = dofh_p.mesh
     p_p = dofh_p.degree
     n1 = p_p + 1
@@ -303,6 +308,8 @@ def assemble_pressure_mass(dofh_p: DoFHandler) -> sp.csr_matrix:
     h3 = np.broadcast_to(
         np.asarray(mesh.h(mesh.level)) ** 3, (dofh_p.cell_dofs.shape[0],)
     )
+    if cell_weights is not None:
+        h3 = h3 * np.asarray(cell_weights, np.float64)
     rows = np.repeat(dofh_p.cell_dofs, n1**3, axis=1).reshape(-1)
     cols = np.tile(dofh_p.cell_dofs, (1, n1**3)).reshape(-1)
     vals = np.einsum("c,ab->cab", h3, Mloc).reshape(-1)

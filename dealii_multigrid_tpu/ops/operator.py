@@ -165,17 +165,24 @@ def make_operator(
     hanging: Constraints,
     dtype=jnp.float32,
     device: bool = True,
+    cell_weights: np.ndarray | None = None,
 ) -> LaplaceOperator:
     """``device=False`` keeps all tables as host numpy arrays — for callers
     that only need the operator's METADATA (constraint census, occasional
     host-side residual checks): at r=7/p=4 the device upload of the 197M-entry
-    cell table alone costs ~13 s of setup (measured)."""
+    cell table alone costs ~13 s of setup (measured).
+
+    ``cell_weights`` multiplies each cell's contribution — exact for a
+    cellwise-constant PDE coefficient (variable-viscosity Stokes: the
+    nsinker workload, models/nsinker.py)."""
     mesh = dofh.mesh
     dim, p = dofh.dim, dofh.degree
     hang, dirichlet = split_boundary_constraints(dofh, hanging)
     elem = element.laplace_element_matrix(dim, p)
     h = mesh.h(mesh.level)
     scale = h.astype(np.float64) ** (dim - 2)
+    if cell_weights is not None:
+        scale = scale * np.asarray(cell_weights, np.float64)
     constrained = np.unique(np.concatenate([dirichlet, hang.slave])).astype(np.int32)
     K = max(hang.masters.shape[1], 1)
     np_dtype = np.dtype(dtype.dtype if hasattr(dtype, "dtype") else dtype)
@@ -204,7 +211,10 @@ def make_operator(
 
 
 def compute_diagonal(
-    dofh: DoFHandler, hanging: Constraints, dtype=np.float64
+    dofh: DoFHandler,
+    hanging: Constraints,
+    dtype=np.float64,
+    cell_weights: np.ndarray | None = None,
 ) -> np.ndarray:
     """Exact diagonal of C^T A C with 1.0 on constrained rows (host-side).
 
@@ -219,6 +229,8 @@ def compute_diagonal(
     elem = element.laplace_element_matrix(dim, p)
     nloc = dofh.n_loc
     scale = mesh.h(mesh.level).astype(np.float64) ** (dim - 2)
+    if cell_weights is not None:
+        scale = scale * np.asarray(cell_weights, np.float64)
 
     # int32 throughout the volume-sized stages: on this host NEW memory costs
     # ~9 s/GB in host-backed page faults, so halving the index temporaries is
