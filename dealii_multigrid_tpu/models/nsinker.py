@@ -83,12 +83,26 @@ def build_stokes_nsinker(
     hang_v = make_hanging_node_constraints(dofh_v)
     assert hang_v.n_slaves == 0, "nsinker slice: uniform (conforming) mesh"
 
-    # velocity GMG hierarchy with per-level rediscretized viscosity
+    # velocity GMG hierarchy with volume-AVERAGED viscosity coarsening:
+    # arithmetic 8-to-1 averaging of the fine field down the hierarchy
+    # beats point re-sampling ~1.6-2x in outer iterations at contrast
+    # 1e3-1e4 (measured, RESULTS.md round-3d; harmonic averaging loses the
+    # stiff inclusions entirely and diverges at 1e4).  The uniform
+    # hypercube's Morton order makes children the 8 consecutive cells of
+    # each parent (asserted).
     tri_seq = geometric_coarsening_sequence(mesh)
     plan = api.gc_level_plan("HMG-global", tri_seq, 2)
+    eta_ladder = [np.asarray(viscosity(mesh.centers()), np.float64)]
+    for lvl in range(len(plan) - 1):
+        fine_c = plan[len(plan) - 1 - lvl][0].centers()
+        coarse_c = plan[len(plan) - 2 - lvl][0].centers()
+        assert np.allclose(
+            fine_c.reshape(-1, 8, 3).mean(1), coarse_c, atol=1e-12
+        ), "Morton 8-block/parent misalignment"
+        eta_ladder.append(eta_ladder[-1].reshape(-1, 8).mean(1))
+    eta_ladder = eta_ladder[::-1]  # coarsest first, aligned with plan
     levels = []
-    for m, d in plan:
-        eta_cells = np.asarray(viscosity(m.centers()), np.float64)
+    for (m, d), eta_cells in zip(plan, eta_ladder):
         dofh = distribute_dofs(m, d)
         hanging = make_hanging_node_constraints(dofh)
         op = make_operator(dofh, hanging, dtype=dtype, cell_weights=eta_cells)
