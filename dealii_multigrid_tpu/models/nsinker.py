@@ -67,6 +67,74 @@ def nsinker_viscosity(
     return eta
 
 
+def make_stokes_rebuilder(mesh: AdaptiveMesh, mg_data, dtype=jnp.float64):
+    """Geometry setup once, viscosity swap per call: returns
+    ``rebuild(eta_fine) -> (op, block_precond)`` for loops whose viscosity
+    changes every step (temperature-dependent rheology in the convection
+    demo).  All pytree STRUCTURES are identical across calls, so every
+    jitted program (solve, eigenvalue estimation) compiles once on the
+    first call and is reused for all later viscosity fields."""
+    from .. import api
+    from ..mesh.coarsening import geometric_coarsening_sequence
+    from ..solvers.multigrid import PreconditionMG
+
+    assert mesh.dim == 3
+    dofh_v = distribute_dofs(mesh, 2)
+    dofh_p = distribute_dofs(mesh, 1)
+    assert make_hanging_node_constraints(dofh_v).n_slaves == 0
+
+    tri_seq = geometric_coarsening_sequence(mesh)
+    plan = api.gc_level_plan("HMG-global", tri_seq, 2)
+    geo = []
+    for m, d in plan:
+        dofh = distribute_dofs(m, d)
+        hanging = make_hanging_node_constraints(dofh)
+        geo.append((m, d, dofh, hanging))
+
+    B = assemble_divergence(dofh_v, dofh_p)
+    B_ell = _to_ell(B, dtype)
+    Bt_ell = _to_ell(B.T.tocsr(), dtype)
+    keep1 = np.ones(dofh_v.n_dofs)
+    keep1[dofh_v.boundary_mask] = 0.0
+    keep_v = to_device(np.tile(keep1, 3), dtype)
+
+    def rebuild(eta_fine: np.ndarray):
+        eta_fine = np.asarray(eta_fine, np.float64)
+        etas = [eta_fine]
+        for _ in range(len(plan) - 1):
+            etas.append(etas[-1].reshape(-1, 8).mean(1))
+        etas = etas[::-1]
+        levels = []
+        for (m, d, dofh, hanging), ec in zip(geo, etas):
+            op = make_operator(
+                dofh, hanging, dtype=dtype, cell_weights=ec
+            )
+            inv_diag = to_device(
+                1.0 / compute_diagonal(dofh, hanging, cell_weights=ec),
+                dtype=dtype,
+            )
+            levels.append(api.LevelContext(m, d, dofh, hanging, op, inv_diag))
+        mg, _ = api.build_gc_preconditioner(levels, mg_data, dtype, dtype)
+        op = StokesOperator(
+            a_op=VectorOperator(levels[-1].op, 3),
+            B=B_ell, Bt=Bt_ell, keep_v=keep_v,
+            n_v=dofh_v.n_dofs, n_p=dofh_p.n_dofs,
+        )
+        precond = StokesBlockPreconditioner(
+            v_precond=PreconditionMG(mg, dtype),
+            p_solve=make_mass_solve(
+                assemble_pressure_mass(dofh_p, cell_weights=1.0 / eta_fine),
+                dtype,
+            ),
+            n_v=dofh_v.n_dofs, n_p=dofh_p.n_dofs,
+        )
+        return op, precond
+
+    rebuild.dofh_v = dofh_v
+    rebuild.dofh_p = dofh_p
+    return rebuild
+
+
 def build_stokes_nsinker(
     mesh: AdaptiveMesh, mg_data, viscosity, dtype=jnp.float64
 ):

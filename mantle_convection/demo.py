@@ -106,6 +106,16 @@ class ConvectionDemo:
     def step(self, T: jax.Array, maxiter: int = 400, rtol: float = 1e-6):
         """One Boussinesq step; returns (T_new, u, stats)."""
         dtype = T.dtype
+        # 0. temperature-dependent rheology: rebuild the viscous hierarchy
+        # from the current T (cell-center T = mean of the 8 Q1 corners —
+        # exact trilinear value).  Pytree structures are unchanged, so all
+        # jitted programs are reused across steps.
+        if self.eta_of_T is not None:
+            T_cells = np.asarray(T)[self.p_cell_dofs].mean(axis=1)
+            eta = np.asarray(self.eta_of_T(T_cells), np.float64)
+            op, block = self.rebuild(eta)
+            self.op = op
+            self.precond = triangular_preconditioner(op, block)
         # 1. buoyancy RHS on the velocity space (z-component)
         grid = self._grid(T)
         T_q2 = _trilinear(grid, self.q2_pts, self.h)
@@ -137,6 +147,11 @@ class ConvectionDemo:
         )  # [n_p, 3]
         umax = jnp.max(jnp.abs(u_q1))
         dt = self.cfl * self.h / jnp.maximum(umax, 1e-12)
+        # explicit-diffusion max-principle cap: lambda_max(M_L^-1 K) for Q1
+        # on the uniform hypercube is ~12/h^2, and the forward-Euler update
+        # preserves positivity only up to dt = 1/(kappa lambda_max).  Slow
+        # flows (high viscosity) otherwise push the CFL dt past it.
+        dt = jnp.minimum(dt, 0.9 * self.h * self.h / (12.0 * self.kappa))
         dep = jnp.clip(
             self.q1_pts.astype(dtype) - dt * u_q1, 0.0, self.h * (self.N1 - 1)
         )
@@ -164,18 +179,37 @@ class ConvectionDemo:
 
     # populated in build (jax arrays are data; this dataclass is host-side)
     q2_at_q1: jax.Array = None
+    # temperature-dependent viscosity (optional): eta_of_T maps per-cell T
+    # to per-cell viscosity; rebuild is the nsinker geometry-cached
+    # viscosity swapper; p_cell_dofs is the Q1 cell->dof table
+    eta_of_T: object = None
+    rebuild: object = None
+    p_cell_dofs: np.ndarray = None
 
 
 def build_convection_demo(
     r: int = 2, Ra: float = 1e3, kappa: float = 1e-2, cfl: float = 0.5,
-    dtype=jnp.float64,
+    dtype=jnp.float64, eta_of_T=None,
 ):
+    """``eta_of_T`` (optional): per-cell viscosity from per-cell temperature
+    (e.g. the Frank-Kamenetskii law ``lambda T: eta0 * np.exp(-gamma * T)``)
+    — the viscous hierarchy is then rebuilt from T every step via the
+    nsinker geometry-cached rebuilder."""
     mesh = generators.create("hypercube", 3, r, 0)
     mg_data = MultigridParameters()
     mg_data.smoother.degree = 3
-    op, block, aux = build_stokes(mesh, mg_data, dtype)
+    rebuild = None
+    if eta_of_T is None:
+        op, block, aux = build_stokes(mesh, mg_data, dtype)
+        dofh_v, dofh_p = aux["dofh_v"], aux["dofh_p"]
+    else:
+        from dealii_multigrid_tpu.models.nsinker import make_stokes_rebuilder
+
+        rebuild = make_stokes_rebuilder(mesh, mg_data, dtype)
+        dofh_v, dofh_p = rebuild.dofh_v, rebuild.dofh_p
+        # initial build at unit viscosity; step() replaces it from T
+        op, block = rebuild(np.ones(mesh.n_cells))
     precond = triangular_preconditioner(op, block)
-    dofh_v, dofh_p = aux["dofh_v"], aux["dofh_p"]
     h = float(mesh.h(int(mesh.level.max())))
 
     q1_lat, N1 = _lattice_map(dofh_p.points, h)
@@ -245,6 +279,9 @@ def build_convection_demo(
         kappa=kappa,
         cfl=cfl,
         q2_at_q1=to_device(q2_at_q1, jnp.int32),
+        eta_of_T=eta_of_T,
+        rebuild=rebuild,
+        p_cell_dofs=np.asarray(dofh_p.cell_dofs),
     )
     return demo
 
