@@ -36,7 +36,9 @@ import jax.numpy as jnp
 from .cg import CGResult
 
 # Dekker splitting constant for f32: 2^12 + 1 (splits a 24-bit mantissa
-# into two 12-bit halves so the half-products are exact in f32).
+# into two 12-bit halves so the half-products are exact in f32).  The
+# split overflows for |a| > ~8e34 (f32max / 4097) — 4 orders of magnitude
+# above any Krylov vector this solver produces; no rescaling needed.
 _SPLIT = jnp.float32(4097.0)
 
 

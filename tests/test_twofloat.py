@@ -315,3 +315,4 @@ def test_cg_df32_jits_without_x64():
         assert res.x.hi.dtype == jnp.float32
     finally:
         jax.config.update("jax_enable_x64", prev)
+
