@@ -40,13 +40,28 @@ except Exception:  # pragma: no cover - non-glibc platforms
     pass
 
 # Transparent huge pages cut the first-touch fault count 512x (the faults
-# themselves are ~60 us VM exits here); best-effort, needs root.
-try:
-    with open("/sys/kernel/mm/transparent_hugepage/enabled", "r+") as _f:
-        if "[always]" not in _f.read():
-            _f.write("always")
-except Exception:  # pragma: no cover - no permission / not Linux
-    pass
+# themselves are ~60 us VM exits here); best-effort, needs root.  A
+# system-wide persistent kernel-policy change does not belong in a library
+# import (ADVICE r3): opt in with MGTPU_THP=1 (the bench/CLI entry points
+# do), or set it once via enable_transparent_hugepages().
+
+
+def enable_transparent_hugepages() -> bool:
+    """Best-effort `echo always > .../transparent_hugepage/enabled`.
+    Returns True if THP is (now) set to always."""
+    try:
+        with open("/sys/kernel/mm/transparent_hugepage/enabled", "r+") as f:
+            if "[always]" in f.read():
+                return True
+            f.write("always")
+            f.seek(0)
+            return "[always]" in f.read()
+    except Exception:  # no permission / not Linux
+        return False
+
+
+if _os.environ.get("MGTPU_THP", "") == "1":
+    enable_transparent_hugepages()
 
 import jax as _jax
 

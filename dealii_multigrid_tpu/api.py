@@ -597,7 +597,9 @@ def _eig_cache_key(tag, meshes, degrees, n_slots_list, n_iterations, dtype):
     from .mesh.octree import morton_encode
 
     h = hashlib.sha1()
-    h.update(f"{tag}|it{n_iterations}|{jnp.dtype(dtype).name}|v1".encode())
+    # v2: per-degree extrapolation representatives (ADVICE r3) change the
+    # extrapolated values for hybrid (PMG/HPMG) plans
+    h.update(f"{tag}|it{n_iterations}|{jnp.dtype(dtype).name}|v2".encode())
     for m, d, ns in zip(meshes, degrees, n_slots_list):
         codes = morton_encode(
             m.anchor << (m.max_level - m.level)[:, None].astype(np.int64)
@@ -630,6 +632,7 @@ def build_gc_preconditioner_hybrid(
         extrapolate_above=(
             2_000_000 if jax.default_backend() != "cpu" else None
         ),
+        degrees=[lv.degree for lv in levels[1:]],
         cache_key=_eig_cache_key(
             "gc",
             [lv.mesh for lv in levels[1:]],

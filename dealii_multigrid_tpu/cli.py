@@ -144,6 +144,11 @@ def main(argv: list[str] | None = None) -> int:
     if not argv:
         print("usage: python -m dealii_multigrid_tpu.cli input_0001.json [...]")
         return 1
+    # the benchmark entry points opt into the THP page-fault optimization
+    # (library import no longer changes system-wide kernel policy)
+    import dealii_multigrid_tpu as _pkg
+
+    _pkg.enable_transparent_hugepages()
     configs = [RunParameters.parse(path) for path in argv]
     if any(p.number_type in ("double", "mixed") or p.mg_number_type == "double"
            # df32 solves never touch f64, but an error study wants the

@@ -926,7 +926,7 @@ class HybridOperator:
     sface_sel: jax.Array | None = None   # [6, nloc, n1^2] plane extract
     sface_selT: jax.Array | None = None  # [6, nloc, n1^2] transposed plane
     # one-hot patch-neighbour matrices [6, NP, NP] (mask folded in) for the
-    # transposed exchange; built only when NP <= 2048
+    # transposed exchange; built only when NP <= 1024 (make_hybrid_operator)
     pnbr_P: jax.Array | None = None
     use_row_single: bool = False
     use_tstencil: bool = False

@@ -298,8 +298,11 @@ def compute_diagonal(
         # general rows (true master couplings): batched quadratic form.
         # Weight patterns repeat massively across cells (the same relative
         # face configurations recur), so dedupe W rows by a position-mixed
-        # hash — VERIFIED exactly below — and run the dense GEMM only on the
-        # unique patterns (~10^2-10^3 instead of ~10^5-10^6 rows at scale).
+        # ~122-bit content hash and run the dense GEMM only on the unique
+        # patterns (~10^2-10^3 instead of ~10^5-10^6 rows at scale).  The
+        # grouping is spot-checked exactly below: one reconstructed
+        # non-representative row per collision bucket must match its
+        # representative's dense row.
         multi = np.nonzero(~single)[0]
         if len(multi):
             remap = np.full(len(ukey), -1, np.int64)
@@ -357,6 +360,29 @@ def compute_diagonal(
             esel = is_rep[eg]
             Wu = np.zeros((len(huf), nloc))
             np.add.at(Wu, (rep_id[eg[esel]], el[esel]), ev[esel])
+            # exact spot-check of the hash grouping: reconstruct ONE
+            # non-representative member per bucket and require its dense row
+            # to match the representative's (rep rows are Wu[bucket] since
+            # rep_id[huf[b]] == b).  Cost: one extra scatter over the
+            # non-rep entries; a collision would raise here.
+            nonrep = np.nonzero(~is_rep)[0]
+            if len(nonrep):
+                firstnr = np.full(len(huf), -1, np.int64)
+                firstnr[hinv[nonrep][::-1]] = nonrep[::-1]
+                chk = firstnr[firstnr >= 0]
+                mask2 = np.zeros(G, bool)
+                mask2[chk] = True
+                id2 = np.full(G, -1, np.int64)
+                id2[chk] = np.arange(len(chk))
+                sel2 = mask2[eg]
+                W2 = np.zeros((len(chk), nloc))
+                np.add.at(W2, (id2[eg[sel2]], el[sel2]), ev[sel2])
+                if not np.allclose(W2, Wu[hinv[chk]], rtol=1e-12, atol=0.0):
+                    raise RuntimeError(
+                        "hanging-weight hash-dedup collision detected in "
+                        "compute_diagonal (distinct weight patterns grouped "
+                        "together) — report with the mesh/degree"
+                    )
             qu = ((Wu @ elem) * Wu).sum(axis=1)
             quad = qu[hinv] * scale[cc_idx][gcell[multi]]
             d += np.bincount(gtgt[multi], weights=quad, minlength=dofh.n_dofs)

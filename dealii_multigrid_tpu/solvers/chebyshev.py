@@ -149,6 +149,7 @@ def estimate_eigenvalue_ranges(
     host_loop: bool | None = None,
     extrapolate_above: int | None = None,
     cache_key: str | None = None,
+    degrees: list | None = None,
 ) -> list[tuple[float, float]]:
     """Batched eigenvalue estimation for a level hierarchy (identical
     numerics to per-level estimate_eigenvalue_range calls).
@@ -194,9 +195,19 @@ def estimate_eigenvalue_ranges(
             return [(a, b) for a, b in got]
     if extrapolate_above is not None:
         sizes = [int(d.shape[0]) for d in inv_diags]
-        comp = [i for i, n in enumerate(sizes) if n <= extrapolate_above]
-        if not comp:  # always compute at least the coarsest level
-            comp = [int(np.argmin(sizes))]
+        # lam_max(D^{-1} A) varies with the polynomial DEGREE (the measured
+        # convergence-from-below holds along an h-hierarchy at fixed p), so
+        # extrapolation is restricted to levels sharing a computed level's
+        # degree: every degree group gets at least one computed
+        # representative (its smallest level), and each excluded level is
+        # extrapolated from its OWN degree group only.
+        degs = list(degrees) if degrees is not None else [None] * len(sizes)
+        comp = {i for i, n in enumerate(sizes) if n <= extrapolate_above}
+        for deg in set(degs):
+            grp = [i for i, d in enumerate(degs) if d == deg]
+            if not comp.intersection(grp):
+                comp.add(min(grp, key=lambda i: sizes[i]))
+        comp = sorted(comp)
         if len(comp) < len(sizes):
             sub = estimate_eigenvalue_ranges(
                 [ops[i] for i in comp],
@@ -207,12 +218,16 @@ def estimate_eigenvalue_ranges(
                 seed=seed,
                 host_loop=host_loop,
             )
-            lam_hi = 1.05 * max(a for a, _ in sub)
-            lam_lo = min(b for _, b in sub)
+            by_idx = dict(zip(comp, sub))
             out = []
-            it = iter(sub)
             for i in range(len(sizes)):
-                out.append(next(it) if i in set(comp) else (lam_hi, lam_lo))
+                if i in by_idx:
+                    out.append(by_idx[i])
+                    continue
+                grp = [j for j in comp if degs[j] == degs[i]]
+                lam_hi = 1.05 * max(by_idx[j][0] for j in grp)
+                lam_lo = min(by_idx[j][1] for j in grp)
+                out.append((lam_hi, lam_lo))
             if cache_key is not None:
                 _eig_cache_store(cache_key, out)
             return out

@@ -15,6 +15,8 @@ ambiguity): solve A M u = b, x = M u.
 
 from __future__ import annotations
 
+from dataclasses import dataclass
+from functools import partial
 from typing import Callable, NamedTuple
 
 import jax
@@ -135,3 +137,187 @@ def gmres_solve(
     state = (x0, jnp.asarray(0, jnp.int32), norm_b, jnp.asarray(False))
     x, it, res, _ = jax.lax.while_loop(cond, body, state)
     return GMRESResult(x, it, res, res <= tol)
+
+
+# --------------------------------------------------------------------------
+# Miscompile hardening.  gmres_solve above is exactly the program shape the
+# axon XLA backend has been observed to miscompile (a multi-iteration
+# lax.while_loop with the V-cycle inside, CLAUDE.md "gotchas"), and its
+# reported residual comes from the Givens recurrence — a miscompile would
+# return silently wrong solutions.  Two defenses, mirroring api.mg_solve:
+#   * verify_true_residual: recompute ||b - A x|| in its OWN
+#     single-application program (the granularity verified bit-exact
+#     against CPU) and raise on disagreement.
+#   * gmres_solve_host: one jitted program per A/M application (host
+#     Arnoldi bookkeeping) — the fallback that cannot hit the miscompile.
+
+
+@dataclass(frozen=True)
+class IdentityPreconditioner:
+    def vmult(self, r):
+        return r
+
+    __call__ = vmult
+
+
+jax.tree_util.register_dataclass(
+    IdentityPreconditioner, data_fields=[], meta_fields=[]
+)
+
+
+@jax.jit
+def _true_residual_norm(fop, b, x):
+    r = b - fop.vmult(x)
+    return jnp.sqrt(jnp.sum(r * r))
+
+
+def verify_true_residual(fop, b, x, claimed_res, reltol, abstol=1e-50,
+                         context="gmres"):
+    """Recompute ||b - A x|| as a single-application program and require
+    agreement with the solver's claimed residual (floor-aware: the
+    attainable true residual stalls at ~eps_op * ||b|| under f32
+    operators — expected, not a miscompile).  Returns the true residual;
+    raises RuntimeError on disagreement beyond 10x + floor."""
+    true_res = float(_true_residual_norm(fop, b, x))
+    norm_b = float(jnp.sqrt(jnp.sum(b * b)))
+    eps_op = float(jnp.finfo(getattr(fop, "dtype", b.dtype)).eps)
+    floor = 1e4 * eps_op * norm_b
+    tol_abs = max(abstol, reltol * norm_b)
+    threshold = 10.0 * max(tol_abs, float(claimed_res)) + floor
+    if true_res > threshold:
+        raise RuntimeError(
+            f"{context}: recurrence residual disagrees with the recomputed "
+            f"true residual (claimed {float(claimed_res):.3e} vs true "
+            f"{true_res:.3e}, ||b|| {norm_b:.3e}, allowance "
+            f"{threshold:.3e}): suspected axon XLA while-loop "
+            "miscompilation — rerun with gmres_solve_host (one jitted "
+            "application per dispatch)"
+        )
+    return true_res
+
+
+@jax.jit
+def _host_apply(fop, precond, v):
+    return fop.vmult(precond.vmult(v))
+
+
+@jax.jit
+def _host_residual(fop, b, x):
+    r = b - fop.vmult(x)
+    return r, jnp.sqrt(jnp.sum(r * r))
+
+
+@jax.jit
+def _host_start(V, r, beta):
+    v0 = jnp.where(beta > 0, r / jnp.maximum(beta, 1e-300), r)
+    return (V * 0).at[0].set(v0)
+
+
+@jax.jit
+def _host_orth(V, w, j):
+    """Masked two-pass MGS of w against rows 0..j of V; writes v_{j+1}.
+    Pure GEMV pairs — no solver applications, no iteration chain."""
+    mask = (jnp.arange(V.shape[0]) <= j).astype(V.dtype)
+    h = (V @ w) * mask
+    w = w - h @ V
+    h2 = (V @ w) * mask
+    w = w - h2 @ V
+    h = h + h2
+    hnext = jnp.sqrt(jnp.sum(w * w))
+    V = V.at[j + 1].set(w / jnp.maximum(hnext, 1e-300))
+    return V, h, hnext
+
+
+@jax.jit
+def _host_form_update(precond, V, y, x):
+    return x + precond.vmult(y @ V[:-1])
+
+
+def gmres_solve_host(
+    fop,
+    b: jax.Array,
+    preconditioner=None,
+    m: int = 30,
+    maxiter: int = 1000,
+    abstol: float = 1e-50,
+    reltol: float = 1e-8,
+    check: bool = True,
+) -> GMRESResult:
+    """GMRES(m) with identical algebra to gmres_solve, but each A / M
+    application is its own jitted program (operators as pytree ARGUMENTS)
+    and the Arnoldi/Givens bookkeeping runs on the host in f64.
+
+    ``fop`` / ``preconditioner`` follow the operator-pytree protocol
+    (``.vmult``; see cg_solve_host).  Safe on the axon backend at the cost
+    of ~2 dispatches per Arnoldi step."""
+    import numpy as np
+
+    if preconditioner is None:
+        preconditioner = IdentityPreconditioner()
+    dtype = b.dtype
+    norm_b = float(jnp.sqrt(jnp.sum(b * b)))
+    tol = max(abstol, reltol * norm_b)
+
+    x = jnp.zeros_like(b)
+    total = 0
+    res = norm_b
+    res_prev_cycle = float("inf")
+    converged = res <= tol
+    while not converged and total < maxiter:
+        r, beta_dev = _host_residual(fop, b, x)
+        beta = float(beta_dev)
+        res = beta
+        if res <= tol:
+            converged = True
+            break
+        if beta >= res_prev_cycle:  # no progress over the last full cycle
+            break
+        res_prev_cycle = beta
+        V = _host_start(jnp.zeros((m + 1, b.shape[0]), dtype), r, beta_dev)
+        H = np.zeros((m + 1, m))
+        cs = np.zeros(m)
+        sn = np.zeros(m)
+        g = np.zeros(m + 1)
+        g[0] = beta
+        j = 0
+        while j < m and res > tol and total + j < maxiter:
+            w = _host_apply(fop, preconditioner, V[j])
+            V, h_dev, hnext_dev = _host_orth(V, w, jnp.asarray(j, jnp.int32))
+            col = np.array(h_dev, np.float64)  # copy: asarray views are read-only
+            col[j + 1] = float(hnext_dev)
+            for i in range(j):
+                ci, si = cs[i], sn[i]
+                col[i], col[i + 1] = (ci * col[i] + si * col[i + 1],
+                                      -si * col[i] + ci * col[i + 1])
+            rr = float(np.hypot(col[j], col[j + 1]))
+            c_new = col[j] / rr if rr > 0 else 1.0
+            s_new = col[j + 1] / rr if rr > 0 else 0.0
+            col[j], col[j + 1] = rr, 0.0
+            cs[j], sn[j] = c_new, s_new
+            g[j + 1] = -s_new * g[j]
+            g[j] = c_new * g[j]
+            H[:, j] = col
+            j += 1
+            res = abs(g[j])
+        total += j
+        if j > 0:
+            y = np.zeros(m)
+            y[:j] = np.linalg.solve(H[:j, :j], g[:j])
+            x = _host_form_update(preconditioner, V,
+                                  jnp.asarray(y, dtype), x)
+        else:
+            break
+        converged = res <= tol
+    if check:
+        # raises on disagreement; the returned true residual may stall just
+        # above tol at the f32 operator floor — report it, keep the
+        # recurrence's convergence verdict (verify_true_residual already
+        # bounded the gap)
+        res = verify_true_residual(fop, b, x, res, reltol, abstol,
+                                   context="gmres_solve_host")
+    return GMRESResult(
+        x,
+        jnp.asarray(total, jnp.int32),
+        jnp.asarray(res, dtype),
+        jnp.asarray(bool(converged)),
+    )

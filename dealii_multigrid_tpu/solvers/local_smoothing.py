@@ -499,6 +499,7 @@ def build_local_smoothing_mg_hybrid(
         extrapolate_above=(
             2_000_000 if jax.default_backend() != "cpu" else None
         ),
+        degrees=[d.degree for d in host_dofhs[1:]],
         cache_key=__import__("dealii_multigrid_tpu.api", fromlist=["_eig_cache_key"])._eig_cache_key(
             "ls",
             [d.mesh for d in host_dofhs[1:]],

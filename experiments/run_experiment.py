@@ -38,6 +38,15 @@ SCRIPTS = os.path.join(REPO, "scripts")
 
 
 def main() -> int:
+    # sweep entry point opts into THP (library import no longer sets it);
+    # subprocess children inherit the policy, isolated runs re-apply via env
+    os.environ.setdefault("MGTPU_THP", "1")
+    try:
+        import dealii_multigrid_tpu as _pkg
+
+        _pkg.enable_transparent_hugepages()
+    except Exception:
+        pass
     ap = argparse.ArgumentParser()
     ap.add_argument("experiment", help="generator name, e.g. small-scaling")
     ap.add_argument("gen_args", nargs="*", help="arguments for the generator")

@@ -38,7 +38,7 @@ from dealii_multigrid_tpu.models.stokes import (
     project_pressure_mean,
     triangular_preconditioner,
 )
-from dealii_multigrid_tpu.solvers.gmres import gmres_solve
+from dealii_multigrid_tpu.solvers.gmres import gmres_solve, verify_true_residual
 from dealii_multigrid_tpu.ops import tensor
 from dealii_multigrid_tpu.ops.operator import make_operator
 from dealii_multigrid_tpu.utils.device import to_device
@@ -132,6 +132,12 @@ class ConvectionDemo:
         )
         x, its = gres.x, gres.n_iterations
         conv = gres.converged
+        # miscompile guard (ADVICE r3): the Givens-recurrence residual would
+        # be silently wrong under the axon while-loop miscompile — recompute
+        # ||b - A x|| in its own single-application program and raise on
+        # disagreement (fall back to gmres_solve_host if this ever fires).
+        verify_true_residual(self.op, rhs, x, gres.residual_norm, rtol,
+                             context="convection Stokes GMRES")
         x = project_pressure_mean(x, self.n_v, self.n_p)
         u = x[: 3 * self.n_v]
         # 3. semi-Lagrangian advection on the Q1 lattice

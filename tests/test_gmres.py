@@ -4,7 +4,11 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from dealii_multigrid_tpu.solvers.gmres import gmres_solve
+from dealii_multigrid_tpu.solvers.gmres import (
+    gmres_solve,
+    gmres_solve_host,
+    verify_true_residual,
+)
 
 
 def test_gmres_matches_dense_solve_nonsymmetric():
@@ -67,6 +71,88 @@ def test_gmres_jittable():
 
     res = run(A, b)
     assert bool(res.converged)
+
+
+def test_gmres_host_matches_monolithic():
+    """The host-restart-loop variant (one jitted application per dispatch —
+    the axon-miscompile-safe path) must reproduce the monolithic solver:
+    same solution to solver tolerance, comparable iteration count."""
+    import dataclasses
+
+    rng = np.random.default_rng(11)
+    n = 120
+    A = np.eye(n) * 2.0 + np.triu(rng.normal(size=(n, n)), 1) * 0.3
+    d = np.abs(np.diag(A)) + 1.0
+    b = rng.normal(size=n)
+    Aj = jnp.asarray(A)
+    dj = jnp.asarray(d)
+
+    @dataclasses.dataclass(frozen=True)
+    class DenseOp:
+        A: jax.Array
+
+        def vmult(self, v):
+            return self.A @ v
+
+    @dataclasses.dataclass(frozen=True)
+    class DiagPrec:
+        d: jax.Array
+
+        def vmult(self, v):
+            return v / self.d
+
+    jax.tree_util.register_dataclass(DenseOp, data_fields=["A"],
+                                     meta_fields=[])
+    jax.tree_util.register_dataclass(DiagPrec, data_fields=["d"],
+                                     meta_fields=[])
+
+    mono = gmres_solve(lambda v: Aj @ v, jnp.asarray(b), m=10,
+                       preconditioner=lambda v: v / dj,
+                       reltol=1e-10, maxiter=400)
+    host = gmres_solve_host(DenseOp(Aj), jnp.asarray(b),
+                            preconditioner=DiagPrec(dj), m=10,
+                            reltol=1e-10, maxiter=400)
+    assert bool(host.converged)
+    assert int(host.n_iterations) > 10  # restarted at least once
+    x_m, x_h = np.asarray(mono.x), np.asarray(host.x)
+    nb = np.linalg.norm(b)
+    assert np.linalg.norm(A @ x_h - b) < 1e-8 * nb
+    assert np.linalg.norm(x_m - x_h) < 1e-6 * np.linalg.norm(x_m)
+    # unpreconditioned path too (IdentityPreconditioner default)
+    host_id = gmres_solve_host(DenseOp(Aj), jnp.asarray(b), m=20,
+                               reltol=1e-10, maxiter=400)
+    assert np.linalg.norm(A @ np.asarray(host_id.x) - b) < 1e-8 * nb
+
+
+def test_verify_true_residual_guard():
+    """The guard accepts an honest solve and fires on a corrupted one."""
+    import dataclasses
+
+    import pytest
+
+    rng = np.random.default_rng(13)
+    n = 40
+    A = np.eye(n) * 3.0 + rng.normal(size=(n, n)) * 0.2
+    b = rng.normal(size=n)
+    Aj = jnp.asarray(A)
+
+    @dataclasses.dataclass(frozen=True)
+    class DenseOp2:
+        A: jax.Array
+
+        def vmult(self, v):
+            return self.A @ v
+
+    jax.tree_util.register_dataclass(DenseOp2, data_fields=["A"],
+                                     meta_fields=[])
+    op = DenseOp2(Aj)
+    res = gmres_solve(lambda v: Aj @ v, jnp.asarray(b), m=20, reltol=1e-10)
+    verify_true_residual(op, jnp.asarray(b), res.x, res.residual_norm,
+                         1e-10)  # must not raise
+    # simulate a miscompile: claimed-converged x that is garbage
+    with pytest.raises(RuntimeError, match="miscompil"):
+        verify_true_residual(op, jnp.asarray(b), res.x * 2.0,
+                             res.residual_norm, 1e-10)
 
 
 def test_stokes_triangular_gmres_beats_blockdiag_minres():

@@ -250,3 +250,38 @@ def test_eig_host_loop_matches_batched():
     for (a1, b1), (a2, b2) in zip(r1, r2):
         assert abs(a1 - a2) < 1e-9 * max(abs(a1), 1.0)
         assert abs(b1 - b2) < 1e-9 * max(abs(b1), 1.0)
+
+
+def test_eig_extrapolation_is_per_degree():
+    """Fine-level lam_max extrapolation must use only computed levels of the
+    SAME polynomial degree (ADVICE r3: lam_max(D^-1 A) varies with p, so a
+    p=1-derived value must not be assigned to an excluded p=4 level)."""
+    from dealii_multigrid_tpu.mesh import generators as G
+    from dealii_multigrid_tpu import api as A
+    from dealii_multigrid_tpu.solvers.chebyshev import (
+        estimate_eigenvalue_ranges,
+    )
+
+    mesh = G.create("hypercube", 3, 2, 0)
+    lv_p1 = A.build_level_hybrid(mesh, 1, jnp.float64)
+    lv_p2 = A.build_level_hybrid(mesh, 2, jnp.float64)
+    lv_p4 = A.build_level_hybrid(mesh, 4, jnp.float64)
+    levels = [lv_p1, lv_p2, lv_p4]
+    ops = [lv.op for lv in levels]
+    invd = [lv.inv_diag for lv in levels]
+    b0s = [lv.eig_b0 for lv in levels]
+    degrees = [1, 2, 4]
+    exact = estimate_eigenvalue_ranges(ops, invd, b0s, use_op_dot=True)
+    # exclude the p=4 level by size: with degree info it must still get a
+    # p=4-derived estimate (a computed representative), not 1.05x the p<=2 max
+    thresh = int(invd[2].shape[0]) - 1
+    est = estimate_eigenvalue_ranges(
+        ops, invd, b0s, use_op_dot=True,
+        extrapolate_above=thresh, degrees=degrees,
+    )
+    assert abs(est[2][0] - exact[2][0]) < 1e-9 * exact[2][0]
+    # without degree info the old global extrapolation would underestimate
+    est_nodeg = estimate_eigenvalue_ranges(
+        ops, invd, b0s, use_op_dot=True, extrapolate_above=thresh,
+    )
+    assert est_nodeg[2][0] < exact[2][0]  # documents the hazard fixed above
