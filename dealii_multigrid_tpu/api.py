@@ -1010,11 +1010,12 @@ def solve_with_local_smoothing_hybrid(
         else:
             rhs_slots = SH.shard_vector(rhs_slots, dmesh)
 
+    ls_partitions = None
     if params.type == "HMG-local":
-        lsmg = build_local_smoothing_mg_hybrid(
+        lsmg, ls_partitions = build_local_smoothing_mg_hybrid(
             fine.dofh, fine.fmt, params.mg_data,
             dtype=level_dtype, min_level=max(params.min_level, 0),
-            n_shards=n_shards, dmesh=dmesh,
+            n_shards=n_shards, dmesh=dmesh, return_partitions=True,
         )
         precond = PreconditionLS(lsmg, fine.op.constrained_keep, outer_dtype)
         n_levels = len(lsmg.levels)
@@ -1042,10 +1043,10 @@ def solve_with_local_smoothing_hybrid(
                 fine if d == p else build_level_hybrid(fine_mesh, d, level_dtype)
                 for d in degrees
             ]
-        lsmg = build_local_smoothing_mg_hybrid(
+        lsmg, ls_partitions = build_local_smoothing_mg_hybrid(
             plevels[0].dofh, plevels[0].fmt, params.mg_data,
             dtype=level_dtype, min_level=max(params.min_level, 0),
-            n_shards=n_shards, dmesh=dmesh,
+            n_shards=n_shards, dmesh=dmesh, return_partitions=True,
         )
         ls_precond = PreconditionLS(
             lsmg, plevels[0].op.constrained_keep, level_dtype
@@ -1079,6 +1080,7 @@ def solve_with_local_smoothing_hybrid(
     else:
         result.rhs_used = rhs_slots
     result.n_shards = n_shards
+    result.partitions = ls_partitions  # per-LEVEL-mesh maps (CLI statistics)
     # sub_comm_size analog: device count of the coarsest LS level
     result.sub_comm_size = lsmg.levels[0].op.n_shards
     result.x = fine.to_global(result.x)

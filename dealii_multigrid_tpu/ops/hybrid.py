@@ -385,6 +385,45 @@ def _find_patches(mesh: AdaptiveMesh, K: int):
 SINGLE_SWEEP_ROWS = np.asarray([4, 5, 2, 3, 0, 1])
 
 
+def _neighbour_lookup(lvl: np.ndarray, coords: np.ndarray) -> np.ndarray:
+    """[6, n] same-level face-neighbour indices (-1 = none) for items at
+    integer ``coords`` [n, 3] on level ``lvl`` [n], via packed-key
+    searchsorted.  Replaces the per-item Python dict loops in
+    build_hybrid_format (seconds at r>=7 singleton counts on the one-core
+    host)."""
+    n = len(lvl)
+    if n == 0:
+        return np.full((6, 0), -1, np.int64)
+    lvl = np.asarray(lvl, np.int64)
+    c = np.asarray(coords, np.int64) + 1  # bias: the -1 face offset stays >= 0
+    b = int(int(c.max()) + 2).bit_length()
+    lb = int(int(lvl.max()) + 1).bit_length()
+    assert 3 * b + lb <= 62, "packed neighbour key overflow"
+
+    def pack(cc):
+        return (
+            (lvl << (3 * b)) | (cc[:, 0] << (2 * b)) | (cc[:, 1] << b)
+            | cc[:, 2]
+        )
+
+    key = pack(c)
+    from ..mesh.native import argsort_i64
+
+    order = argsort_i64(key)
+    skey = key[order]
+    out = np.full((6, n), -1, np.int64)
+    for d in range(3):
+        for side in (0, 1):
+            q = c.copy()
+            q[:, d] += 1 if side else -1
+            qkey = pack(q)
+            pos = np.searchsorted(skey, qkey)
+            posc = np.minimum(pos, n - 1)
+            hit = skey[posc] == qkey
+            out[2 * d + side] = np.where(hit, order[posc], -1)
+    return out
+
+
 def _ssweep_transfer_mats(n1: int) -> np.ndarray:
     """[6, nloc, nloc] fused face-transfer matrices for whole-row singleton
     sweeps: T[2d] maps a neighbour ROW's top face (lattice axis d) onto MY
@@ -630,24 +669,12 @@ def build_hybrid_format(
         vals = dofh.cell_dofs[p_cells].reshape(NP, -1)   # [NP, K^3*nloc]
         patch_dof[:, TX, TY, TZ] = vals
 
-    # neighbours
-    nbr = np.full((6, NP), -1, dtype=np.int64)
-    if NP:
-        key = {}
-        for i in range(NP):
-            key[(int(p_level[i]), int(p_block[i, 0]), int(p_block[i, 1]), int(p_block[i, 2]))] = i
-        for d in range(3):
-            for side, row in ((0, 2 * d), (1, 2 * d + 1)):
-                off = np.zeros(3, np.int64)
-                off[d] = 1 if side else -1
-                for i in range(NP):
-                    q = (
-                        int(p_level[i]),
-                        int(p_block[i, 0] + off[0]),
-                        int(p_block[i, 1] + off[1]),
-                        int(p_block[i, 2] + off[2]),
-                    )
-                    nbr[row, i] = key.get(q, -1)
+    # neighbours (vectorized packed-key lookup; same dict semantics)
+    nbr = (
+        _neighbour_lookup(p_level, p_block)
+        if NP
+        else np.full((6, 0), -1, dtype=np.int64)
+    )
 
     # slots — every dof id 0..n_dofs-1 occurs, so unique_inverse's group ids
     # ARE the dof ids and its stable ``first`` is each dof's minimal slot
@@ -665,20 +692,11 @@ def build_hybrid_format(
     owner[rep_slot] = 1.0
 
     # singleton-singleton face neighbours (their own sweep bucket)
-    nbr_s = np.full((6, NS), -1, dtype=np.int64)
-    if NS:
-        skey = {}
-        for j, c in enumerate(single_cells):
-            skey[(int(mesh.level[c]), int(mesh.anchor[c, 0]),
-                  int(mesh.anchor[c, 1]), int(mesh.anchor[c, 2]))] = j
-        for j, c in enumerate(single_cells):
-            l = int(mesh.level[c])
-            a = mesh.anchor[c]
-            for d in range(3):
-                for side, row in ((0, 2 * d), (1, 2 * d + 1)):
-                    q = [l, int(a[0]), int(a[1]), int(a[2])]
-                    q[d + 1] += 1 if side else -1
-                    nbr_s[row, j] = skey.get(tuple(q), -1)
+    nbr_s = (
+        _neighbour_lookup(mesh.level[single_cells], mesh.anchor[single_cells])
+        if NS
+        else np.full((6, 0), -1, dtype=np.int64)
+    )
 
     # regular/irregular classification by exact simulation.  Values stay
     # < 2^40 and per-dof slot multiplicities are small, so sums stay < 2^53

@@ -195,6 +195,33 @@ def place_hybrid_level(level, dmesh: Mesh):
     )
 
 
+def default_cell_shard_map(fmt, n_cells: int) -> np.ndarray:
+    """Reconstruct the cell->device map a device-major HybridFormat applies
+    (repartition_format: patch/singleton index blocks — the p4est
+    DefaultPolicy analog).  Used to report the partition ACTUALLY applied in
+    the MG statistics when no explicit policy produced one."""
+    D = fmt.n_shards
+    out = np.zeros(n_cells, np.int32)
+    if D <= 1:
+        return out
+    NPp = len(fmt.patch_level)
+    if NPp:
+        pps = NPp // D
+        pc = np.asarray(fmt.patch_cells)
+        if pc.ndim == 1:
+            pc = pc[:, None]
+        shard = (np.arange(NPp) // pps).astype(np.int32)
+        valid = pc >= 0
+        out[pc[valid]] = np.repeat(shard, pc.shape[1])[valid.ravel()]
+    sc = np.asarray(fmt.single_cells)
+    NSp = len(sc)
+    if NSp:
+        sps = NSp // D
+        ok = sc >= 0
+        out[sc[ok]] = ((np.arange(NSp) // sps).astype(np.int32))[ok]
+    return out
+
+
 def hybrid_level_shard_count(
     n_cells: int, n_devices: int, grain_size: int = 8
 ) -> int:
@@ -254,6 +281,10 @@ def build_sharded_hybrid_levels(
             mesh0, degree, level_dtype, n_shards=D, cell_shard=cell_shard
         )
         levels.append(place_hybrid_level(lv, dmesh))
+        # record the partition ACTUALLY applied: the default index-block
+        # layout is a real partition too (None = replicated level only)
+        if cell_shard is None and D > 1:
+            cell_shard = default_cell_shard_map(lv.fmt, mesh0.n_cells)
         applied.append(cell_shard)
     return levels, applied
 

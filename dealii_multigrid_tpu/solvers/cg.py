@@ -129,8 +129,15 @@ def cg_solve_host(
     multi-iteration programs containing the local-smoothing V-cycle: the
     single-application granularity is verified bit-exact against the CPU
     backend, while the same chain inside one program computes inconsistent
-    loop state (see api.mg_solve docstring).  Costs one dispatch per
-    iteration."""
+    loop state (see api.mg_solve docstring).
+
+    Depth-1 pipelined: step k+1 is DISPATCHED (async, on the step-k output
+    futures) before step k's residual scalar is fetched, so the ~35 ms
+    axon tunnel round-trip per iteration overlaps the next iteration's
+    device execution instead of serializing with it.  At convergence the
+    one speculatively dispatched step is discarded (its result is never
+    used; x_k with ||r_k|| <= tol is returned — identical iterates and
+    iteration counts to the sequential loop)."""
     r, z, rz, norm0 = _cg_host_init(fop, preconditioner, b, use_op_dot)
     if force_iterations is not None:
         tol = 0.0
@@ -138,17 +145,31 @@ def cg_solve_host(
     else:
         tol = max(abstol, reltol * float(norm0))
     x = jnp.zeros_like(b)
-    p = z
-    it = 0
     res = float(norm0)
-    while res > tol and it < maxiter:
-        x, r, p, rz, res_dev = _cg_host_step(
-            fop, preconditioner, x, r, p, rz, use_op_dot
+    if res <= tol or maxiter <= 0:
+        return CGResult(
+            x, jnp.asarray(0, jnp.int32), jnp.asarray(res, b.dtype),
+            jnp.asarray(res <= tol), norm0,
         )
-        res = float(res_dev)
+    it = 0
+    # step 1 in flight; x_cur/res track the last CHECKED state
+    step = _cg_host_step(fop, preconditioner, x, r, z, rz, use_op_dot)
+    x_cur = x
+    while res > tol and it < maxiter:
+        nxt = (
+            _cg_host_step(
+                fop, preconditioner, step[0], step[1], step[2], step[3],
+                use_op_dot,
+            )
+            if it + 1 < maxiter
+            else None
+        )
+        res = float(step[4])  # sync on step it+1 while step it+2 executes
+        x_cur = step[0]
         it += 1
+        step = nxt
     return CGResult(
-        x,
+        x_cur,
         jnp.asarray(it, jnp.int32),
         jnp.asarray(res, b.dtype),
         jnp.asarray(res <= tol),

@@ -371,6 +371,7 @@ def build_local_smoothing_mg_hybrid(
     min_level: int = 0,
     n_shards: int = 1,
     dmesh=None,
+    return_partitions: bool = False,
 ) -> LocalSmoothingMGHybrid:
     """Hybrid-engine LS hierarchy; ``active_fmt`` is the ACTIVE mesh's
     HybridFormat whose slot layout the preconditioner operates on.
@@ -535,13 +536,25 @@ def build_local_smoothing_mg_hybrid(
         from_idx=to_device(host_fmts[0].slot_dof, jnp.int32),
     )
 
-    return LocalSmoothingMGHybrid(
+    mg = LocalSmoothingMGHybrid(
         levels=tuple(levels),
         smoothers=tuple(smoothers),
         transfers=tuple(transfers),
         coarse_solve=coarse,
         n_dofs_global=active_fmt.n_slots,
     )
+    if return_partitions:
+        # the partition ACTUALLY applied per level mesh (None = replicated):
+        # the Morton index-block layout of each level's device-major format
+        from ..parallel.sharding import default_cell_shard_map
+
+        parts = [
+            default_cell_shard_map(f, f.dofh.mesh.n_cells)
+            if f.n_shards > 1 else None
+            for f in host_fmts
+        ]
+        return mg, parts
+    return mg
 
 
 def _place_ls_level(lev: LSHybridLevel, dmesh):

@@ -286,7 +286,10 @@ def cg_solve_host_df32(
     force_iterations: int | None = None,
     use_weight: bool = False,
 ) -> CGResult:
-    """Double-single PCG as a host loop (one jitted step per iteration)."""
+    """Double-single PCG as a host loop (one jitted step per iteration),
+    depth-1 pipelined like cg.cg_solve_host: the next step is dispatched on
+    the current step's output futures before its residual scalar is
+    fetched, hiding the axon tunnel round-trip."""
     r, z, rz, norm0 = _df32_host_init(fop, preconditioner, b, use_weight)
     if force_iterations is not None:
         tol = 0.0
@@ -294,17 +297,31 @@ def cg_solve_host_df32(
     else:
         tol = max(abstol, reltol * float(norm0))
     x = tf_zeros_like(b.hi)
-    p = tf_from_f32(z)
-    it = 0
     res = float(norm0)
-    while res > tol and it < maxiter:
-        x, r, p, rz, res_dev = _df32_host_step(
-            fop, preconditioner, x, r, p, rz, use_weight
+    if res <= tol or maxiter <= 0:
+        return CGResult(
+            x, jnp.asarray(0, jnp.int32), jnp.asarray(res, jnp.float32),
+            jnp.asarray(res <= tol), norm0,
         )
-        res = float(res_dev)
+    it = 0
+    step = _df32_host_step(fop, preconditioner, x, r, tf_from_f32(z), rz,
+                           use_weight)
+    x_cur = x
+    while res > tol and it < maxiter:
+        nxt = (
+            _df32_host_step(
+                fop, preconditioner, step[0], step[1], step[2], step[3],
+                use_weight,
+            )
+            if it + 1 < maxiter
+            else None
+        )
+        res = float(step[4])
+        x_cur = step[0]
         it += 1
+        step = nxt
     return CGResult(
-        x,
+        x_cur,
         jnp.asarray(it, jnp.int32),
         jnp.asarray(res, jnp.float32),
         jnp.asarray(res <= tol),

@@ -191,6 +191,117 @@ def profile_ls_cycle(lsmg, b, n_loop: int = 8) -> dict:
     return out
 
 
+def profile_v_cycle_per_level(mg, b, n_loop: int = 8) -> dict:
+    """Per-level per-phase seconds for a global-coarsening Multigrid:
+    ``out[phase][l-1]`` = seconds of that phase at level l (levels 1..L; the
+    coarse solve is its own 'cs' single-entry list).  The reference prints
+    per-level min/max/avg matrices over MPI ranks
+    (multigrid_throughput.cc:1285-1379, mg_tools.h tables); under XLA SPMD
+    there is no per-device host timing, so the table is per level with one
+    (all-device) value per cell."""
+    L = mg.n_levels - 1
+    dtype = b.dtype
+
+    def vec(l, seed):
+        op = mg.operators[l]
+        n = getattr(op, "n_slots", None) or op.n_dofs
+        return _rand_like(n, dtype, seed)
+
+    d = [vec(l, 100 + l) for l in range(L + 1)]
+    x = [vec(l, 200 + l) for l in range(L + 1)]
+    out = {ph: [] for ph in PHASES}
+    for l in range(1, L + 1):
+        out["pre"].append(_loop_time(
+            lambda m, v, l=l: [m.smoothers[l].vmult(v[0])], mg, [d[l]], n_loop))
+        out["residuum"].append(_loop_time(
+            lambda m, v, l=l: [v[0] - m.operators[l].vmult(v[1])],
+            mg, [d[l], x[l]], n_loop))
+        out["res"].append(_loop_time(
+            lambda m, v, l=l: [m.transfers[l].restrict(v[0])],
+            mg, [d[l]], n_loop))
+        out["pro"].append(_loop_time(
+            lambda m, v, l=l: [m.transfers[l].prolong(v[0])],
+            mg, [d[l - 1]], n_loop))
+        out["post"].append(_loop_time(
+            lambda m, v, l=l: [m.smoothers[l].step(v[0], v[1])],
+            mg, [x[l], d[l]], n_loop))
+        out["edge_pro"].append(0.0)  # GC has no refinement-edge operators
+    out["cs"] = [_loop_time(lambda m, v: [m.coarse_solve(v[0])], mg, [d[0]],
+                            n_loop)]
+    return out
+
+
+def profile_ls_cycle_per_level(lsmg, b, n_loop: int = 8) -> dict:
+    """Per-level per-phase seconds for a LocalSmoothingMG (see
+    profile_v_cycle_per_level), including the refinement-edge interface
+    work per level."""
+    L = len(lsmg.levels) - 1
+    dtype = b.dtype
+    d = [_rand_like(lv.n_dofs, dtype, 300 + i)
+         for i, lv in enumerate(lsmg.levels)]
+    x = [_rand_like(lv.n_dofs, dtype, 400 + i)
+         for i, lv in enumerate(lsmg.levels)]
+    out = {ph: [] for ph in PHASES}
+    for l in range(1, L + 1):
+        out["pre"].append(_loop_time(
+            lambda m, v, l=l: [m.smoothers[l].vmult(v[0])], lsmg, [d[l]],
+            n_loop))
+        out["residuum"].append(_loop_time(
+            lambda m, v, l=l: [v[0] - m.levels[l].vmult(v[1])],
+            lsmg, [d[l], x[l]], n_loop))
+        out["edge_pro"].append(_loop_time(
+            lambda m, v, l=l: [
+                m.levels[l].interface_down(v[0])
+                + m.levels[l].interface_up(v[1])
+            ],
+            lsmg, [x[l], x[l]], n_loop))
+        out["res"].append(_loop_time(
+            lambda m, v, l=l: [m.transfers[l].restrict(v[0])],
+            lsmg, [d[l]], n_loop))
+        out["pro"].append(_loop_time(
+            lambda m, v, l=l: [m.transfers[l].prolong(v[0])],
+            lsmg, [d[l - 1]], n_loop))
+        out["post"].append(_loop_time(
+            lambda m, v, l=l: [m.smoothers[l].step(v[0], v[1])],
+            lsmg, [x[l], d[l]], n_loop))
+    out["cs"] = [_loop_time(lambda m, v: [m.coarse_solve(v[0])], lsmg,
+                            [d[0]], n_loop)]
+    return out
+
+
+def profile_preconditioner_per_level(precond, b, n_loop: int = 8) -> dict:
+    """Per-level dispatch (see profile_preconditioner)."""
+    from ..solvers.multigrid import PreconditionMG
+
+    if isinstance(precond, PreconditionMG):
+        return profile_v_cycle_per_level(
+            precond.mg, b.astype(precond.mg.operators[-1].dtype), n_loop
+        )
+    lsmg = getattr(precond, "lsmg", precond)
+    return profile_ls_cycle_per_level(
+        lsmg, b.astype(lsmg.levels[-1].keep.dtype), n_loop
+    )
+
+
+def format_per_level_table(per_level: dict) -> str:
+    """Reference-shaped per-level phase table (mg_tools.h-style rows)."""
+    phases = [ph for ph in PHASES if ph != "cs"]
+    L = max((len(per_level.get(ph, [])) for ph in phases), default=0)
+    head = "level " + " ".join(f"{ph:>10}" for ph in phases)
+    lines = [head]
+    for i in range(L):
+        cells = " ".join(
+            f"{per_level[ph][i]:10.3e}" if i < len(per_level.get(ph, []))
+            else f"{'-':>10}"
+            for ph in phases
+        )
+        lines.append(f"{i + 1:<5} " + cells)
+    cs = per_level.get("cs", [])
+    if cs:
+        lines.append(f"coarse solve: {cs[0]:.3e} s")
+    return "\n".join(lines)
+
+
 def profile_preconditioner(precond, b, n_loop: int = 8) -> dict:
     """Dispatch on preconditioner type; always returns the 7 PHASES plus
     to_mg / to_global."""

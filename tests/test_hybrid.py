@@ -14,6 +14,26 @@ from dealii_multigrid_tpu.ops import hybrid_transfer as HT
 from dealii_multigrid_tpu.utils.params import RunParameters
 
 
+def test_neighbour_lookup_matches_dict():
+    """_neighbour_lookup (packed-key searchsorted) reproduces the dict
+    semantics it replaced: same-level face neighbour index or -1."""
+    mesh = G.create("quadrant", 3, 4, 0)
+    lvl = np.asarray(mesh.level)
+    crd = np.asarray(mesh.anchor)
+    got = H._neighbour_lookup(lvl, crd)
+    key = {
+        (int(lvl[i]), int(crd[i, 0]), int(crd[i, 1]), int(crd[i, 2])): i
+        for i in range(len(lvl))
+    }
+    for d in range(3):
+        for side, row in ((0, 2 * d), (1, 2 * d + 1)):
+            for i in range(len(lvl)):
+                q = [int(lvl[i]), int(crd[i, 0]), int(crd[i, 1]),
+                     int(crd[i, 2])]
+                q[d + 1] += 1 if side else -1
+                assert got[row, i] == key.get(tuple(q), -1)
+
+
 def _build(mesh, p):
     dofh = D.distribute_dofs(mesh, p)
     hang = D.make_hanging_node_constraints(dofh)
