@@ -34,14 +34,18 @@ from .chebyshev import ChebyshevSmoother
 
 
 def assemble_sparse_matrix(
-    dofh: DoFHandler, hanging: Constraints
+    dofh: DoFHandler, hanging: Constraints, cell_weights=None
 ) -> sp.csr_matrix:
     """Host-side assembly of the constrained system matrix C^T B C + I_c
     (capability mirror of Operator::get_trilinos_system_matrix,
-    reference include/operator.h:244-287)."""
+    reference include/operator.h:244-287).  ``cell_weights`` scales each
+    cell's stiffness contribution (piecewise-constant coefficients, e.g.
+    viscosity — matches make_operator(cell_weights=...))."""
     mesh, dim, p = dofh.mesh, dofh.dim, dofh.degree
     elem = element.laplace_element_matrix(dim, p)
     scale = mesh.h(mesh.level).astype(np.float64) ** (dim - 2)
+    if cell_weights is not None:
+        scale = scale * np.asarray(cell_weights, np.float64)
     nloc = dofh.n_loc
     n = dofh.n_dofs
     rows = np.repeat(dofh.cell_dofs.astype(np.int64), nloc, axis=1).reshape(-1)
