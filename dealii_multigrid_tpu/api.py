@@ -10,6 +10,7 @@ MPI_Barrier.
 
 from __future__ import annotations
 
+import os
 import time
 from dataclasses import dataclass
 from typing import Callable
@@ -1068,8 +1069,14 @@ def solve_with_local_smoothing_hybrid(
         n_dofs=fine.dofh.n_dofs,
         # one jitted PCG step per iteration on accelerator backends: the
         # monolithic while_loop program miscompiles the LS V-cycle on the
-        # axon TPU backend at production sizes (see mg_solve docstring)
-        host_loop=(jax.default_backend() != "cpu"),
+        # axon TPU backend at production sizes (see mg_solve docstring).
+        # MGTPU_LS_MONOLITHIC=1 retries the monolithic program — safe to
+        # attempt because the floor-aware recomputed-residual guard raises
+        # on any miscompiled solve instead of returning it.
+        host_loop=(
+            jax.default_backend() != "cpu"
+            and os.environ.get("MGTPU_LS_MONOLITHIC", "") != "1"
+        ),
         df32=df32,
     )
     result.mg = precond
