@@ -188,6 +188,49 @@ def distribute_dofs_native(level, anchor, degree, max_level, gl, lower, upper):
     )
 
 
+def _bind_covering(lib: ctypes.CDLL) -> None:
+    if getattr(lib, "_covering_bound", False):
+        return
+    lib.mgtpu_covering_cell_level.restype = None
+    lib.mgtpu_covering_cell_level.argtypes = [
+        ctypes.POINTER(ctypes.c_int64),   # anchors [n, 3]
+        ctypes.c_int64,                   # n
+        ctypes.c_int32,                   # query_level
+        ctypes.c_int32,                   # top (max search level)
+        ctypes.POINTER(ctypes.c_uint64),  # per-level sorted codes, concat
+        ctypes.POINTER(ctypes.c_int64),   # offsets [n_levels + 1]
+        ctypes.c_int32,                   # n_levels
+        ctypes.POINTER(ctypes.c_int32),   # out [n]
+    ]
+    lib._covering_bound = True
+
+
+def covering_cell_level_native(anchors, query_level, top, codes, offs):
+    """Fused covering-cell query (native/covering.cc): one Morton encode per
+    query + a binary search per candidate level, replacing a bit-spread pass
+    per (level x batch) on the NumPy path.  Returns int32 levels (or -1), or
+    None when the library is unavailable."""
+    lib = load()
+    if lib is None:
+        return None
+    _bind_covering(lib)
+    an = np.ascontiguousarray(anchors, dtype=np.int64)
+    codes = np.ascontiguousarray(codes, dtype=np.uint64)
+    offs = np.ascontiguousarray(offs, dtype=np.int64)
+    out = np.empty(len(an), dtype=np.int32)
+    lib.mgtpu_covering_cell_level(
+        an.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        len(an),
+        int(query_level),
+        int(top),
+        codes.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        offs.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        len(offs) - 1,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+    )
+    return out
+
+
 def argsort_i64(keys: np.ndarray) -> np.ndarray:
     """Stable radix argsort for non-negative int64 keys (native), with a
     NumPy fallback."""

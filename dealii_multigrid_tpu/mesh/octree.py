@@ -156,6 +156,20 @@ class AdaptiveMesh:
             out[int(l)] = (codes[order], sel[order])
         return out
 
+    def _codes_concat(self):
+        """Concatenated per-level sorted Morton code tables (levels
+        0..max_level) + offsets, cached alongside the per-level tables (the
+        ``_codes = {}`` invalidation at every mutation site clears it too)."""
+        got = self._codes.get("__concat__")
+        if got is None:
+            tables = [self._level_codes(l) for l in range(self.max_level + 1)]
+            offs = np.zeros(len(tables) + 1, dtype=np.int64)
+            np.cumsum([len(t) for t in tables], out=offs[1:])
+            got = (np.concatenate(tables) if tables else
+                   np.zeros(0, np.uint64), offs)
+            self._codes["__concat__"] = got
+        return got
+
     def covering_cell_level(
         self, query_level: int, anchor: np.ndarray, max_search_level: int | None = None
     ) -> np.ndarray:
@@ -165,6 +179,15 @@ class AdaptiveMesh:
         n = len(anchor)
         out = np.full(n, -1, dtype=np.int32)
         top = query_level if max_search_level is None else max_search_level
+        if self.dim == 3 and n:
+            from . import native
+
+            codes, offs = self._codes_concat()
+            got = native.covering_cell_level_native(
+                anchor, query_level, top, codes, offs
+            )
+            if got is not None:
+                return got
         pending = np.arange(n)
         for q in range(top, -1, -1):
             if len(pending) == 0:

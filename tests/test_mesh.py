@@ -89,3 +89,24 @@ def test_geometric_coarsening_sequence():
     ).max_level
     seq4 = geometric_coarsening_sequence(m, min_level=2, min_n_cells=10**9)
     assert seq4[0].max_level + 1 == 2  # MinLevel wins over MinNCells
+
+
+def test_covering_native_matches_numpy():
+    """native/covering.cc vs the vectorised-NumPy fallback, random queries."""
+    from dealii_multigrid_tpu.mesh import native
+
+    if native.load() is None:
+        pytest.skip("native library unavailable")
+    m = G.create("quadrant", 3, 5, 0)
+    rng = np.random.default_rng(7)
+    for ql in range(1, m.max_level + 1):
+        anchor = rng.integers(0, 1 << ql, size=(5000, 3))
+        for top in (ql, ql - 1, max(ql - 3, 0)):
+            fast = m.covering_cell_level(ql, anchor, top)
+            orig = native.covering_cell_level_native
+            try:
+                native.covering_cell_level_native = lambda *a: None
+                slow = m.covering_cell_level(ql, anchor, top)
+            finally:
+                native.covering_cell_level_native = orig
+            assert np.array_equal(fast, slow), (ql, top)
