@@ -78,6 +78,10 @@ def patch_stencil_pallas(xp, KS, MS, pscale, S: int, interpret: bool = False):
 
 _probe_cache: dict = {}
 
+#: last probe failure per S, for remote diagnosis of Mosaic rejections
+#: (the probe swallowing the error cost a round-trip in round 3)
+probe_errors: dict = {}
+
 
 def available(S: int) -> bool:
     """Can Mosaic lower the kernel at this S on the current backend?"""
@@ -91,6 +95,7 @@ def available(S: int) -> bool:
         s = jnp.zeros((1,), jnp.float32)
         np.asarray(patch_stencil_pallas(x, m, m, s, S))
         _probe_cache[S] = True
-    except Exception:
+    except Exception as e:
+        probe_errors[S] = f"{type(e).__name__}: {e}"
         _probe_cache[S] = False
     return _probe_cache[S]

@@ -42,6 +42,7 @@ for S, NP in ((33, 512), (9, 4096)):
     ok = PS.available(S)
     print(f"S={S}: available={ok}", flush=True)
     if not ok:
+        print(f"  probe error: {PS.probe_errors.get(S)}", flush=True)
         continue
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.standard_normal((NP, S**3)), jnp.float32)
