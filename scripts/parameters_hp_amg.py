@@ -1,36 +1,40 @@
-"""hp + AMG-coarse study: coarse cycles 1-4 vs second AMG flavour
-(reference: scripts/parameters_hp_amg.py).
+"""hp + AMG-coarse study (reference: scripts/parameters_hp_amg.py).
 
-The reference runs this where the coarse grid is the bottleneck (768-24576
-ranks); the single-chip analog is a MinLevel-truncated hierarchy, so each
-refinement is swept twice: full hierarchy (MinLevel default) and truncated
-(MinLevel = n_ref - 2, leaving a volume-scale coarse problem where the AMG
-flavours and cycle counts separate in outer iterations).
+The reference's design truncates ALL h-levels (MinLevel = n_ref + 1, which
+with the keep-from-first-satisfying-tria rule leaves only the fine mesh):
+the V-cycle descends the p-chain on the fine mesh and the AMG coarse solver
+works on the volume-sized p=1 problem — that is where the flavours
+(ML-analog vs BoomerAMG-analog) and CoarseSolverNCycles 1-4 separate.
+Comparators per refinement, as upstream: full-hierarchy HPMG-local and
+HPMG with a single AMG cycle.
 """
 
 import sys
 
 from sweep_common import write_config
 
-refs = [int(a) for a in sys.argv[1:]] or [10, 11, 12]
+refs = [int(a) for a in sys.argv[1:]] or [5, 6, 7]
+
+
+def run_instance(counter, solver, n_ref, min_level, coarse_type, n_cycles):
+    write_config(counter, {
+        "Type": solver,
+        "NRefGlobal": n_ref,
+        "Degree": 4,
+        "MinLevel": min_level,
+        "CoarseGridSolverType": coarse_type,
+        "CoarseSolverNCycles": n_cycles,
+    })
+
 
 counter = 0
 for n_ref in refs:
-    for min_level in (None, max(n_ref - 2, 1)):
-        for cycles in (1, 2, 3, 4):
-            over = {
-                "Type": "HPMG", "NRefGlobal": n_ref,
-                "CoarseGridSolverType": "amg", "CoarseSolverNCycles": cycles,
-            }
-            if min_level is not None:
-                over["MinLevel"] = min_level
-            write_config(counter, over)
-            counter += 1
-        over = {
-            "Type": "HPMG", "NRefGlobal": n_ref,
-            "CoarseGridSolverType": "amg_petsc",
-        }
-        if min_level is not None:
-            over["MinLevel"] = min_level
-        write_config(counter, over)
+    run_instance(counter, "HPMG-local", n_ref, 0, "amg", 1)
+    counter += 1
+    run_instance(counter, "HPMG", n_ref, 0, "amg", 1)
+    counter += 1
+    for k in range(1, 5):
+        run_instance(counter, "HPMG", n_ref, n_ref + 1, "amg", k)
         counter += 1
+    run_instance(counter, "HPMG", n_ref, n_ref + 1, "amg_petsc", 2)
+    counter += 1
