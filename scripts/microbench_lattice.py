@@ -14,6 +14,16 @@ pay 5x5 -> 8x128 = 41x.  Candidate cures, measured head-to-head here:
 Usage: PYTHONPATH=... python scripts/microbench_lattice.py [NP] [S] [NS] [n1]
 """
 
+import os
+
+if os.environ.get("MGTPU_PLATFORM"):  # CPU smoke-testing (run_experiment contract)
+    import jax as _jax_platform_shim
+
+    _jax_platform_shim.config.update(
+        "jax_platforms", os.environ["MGTPU_PLATFORM"]
+    )
+
+
 import sys
 import time
 

@@ -15,6 +15,16 @@ dispatch, so never time a single call):
 Usage: PYTHONPATH=/root/repo:$PYTHONPATH python scripts/profile_ls_r6.py [r] [p]
 """
 
+import os
+
+if os.environ.get("MGTPU_PLATFORM"):  # CPU smoke-testing (run_experiment contract)
+    import jax as _jax_platform_shim
+
+    _jax_platform_shim.config.update(
+        "jax_platforms", os.environ["MGTPU_PLATFORM"]
+    )
+
+
 import dataclasses
 import sys
 import time

@@ -8,6 +8,16 @@ V-cycle, fine transfers and the fine smoother.
 Usage: PYTHONPATH=/root/repo:$PYTHONPATH python scripts/profile_r7.py [r] [p]
 """
 
+import os
+
+if os.environ.get("MGTPU_PLATFORM"):  # CPU smoke-testing (run_experiment contract)
+    import jax as _jax_platform_shim
+
+    _jax_platform_shim.config.update(
+        "jax_platforms", os.environ["MGTPU_PLATFORM"]
+    )
+
+
 import sys
 import time
 

@@ -6,6 +6,16 @@ levels that carry 90% of the V-cycle (L7 188 ms, L6 68 ms of 279 ms).
 Usage: PYTHONPATH=/root/repo:$PYTHONPATH python scripts/profile_r7_components.py [r] [p]
 """
 
+import os
+
+if os.environ.get("MGTPU_PLATFORM"):  # CPU smoke-testing (run_experiment contract)
+    import jax as _jax_platform_shim
+
+    _jax_platform_shim.config.update(
+        "jax_platforms", os.environ["MGTPU_PLATFORM"]
+    )
+
+
 import sys
 import time
 
