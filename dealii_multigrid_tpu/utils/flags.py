@@ -48,6 +48,19 @@ def variant_flag(env_name: str, **dims) -> bool:
     """
     val = os.environ.get(env_name)
     if val is None:
+        # DEFAULT_POLICY holds TPU-measured winners; the CPU backend has no
+        # (8, 128) tile-padding tax, so policy defaults (unlike explicit env
+        # settings) do not apply when the process forces the CPU platform
+        # (tests, virtual-mesh dryruns).  Checked via the config value, not
+        # default_backend(), to avoid triggering remote backend init.
+        import jax
+
+        try:
+            plats = jax.config.jax_platforms or ""
+        except Exception:  # pragma: no cover - config field unavailable
+            plats = ""
+        if plats.startswith("cpu"):
+            return False
         val = DEFAULT_POLICY.get(env_name, "")
     val = val.strip()
     if val in ("", "0"):

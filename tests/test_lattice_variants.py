@@ -125,6 +125,19 @@ def test_variant_flag_grammar(monkeypatch):
         variant_flag("MGTPU_X", np=1)
 
 
+def test_default_policy_gated_off_on_cpu(monkeypatch):
+    # DEFAULT_POLICY holds TPU-measured winners: on a process that forces
+    # the CPU platform (this suite) the policy must NOT apply, while an
+    # explicit env setting still does.
+    from dealii_multigrid_tpu.utils import flags
+
+    monkeypatch.delenv("MGTPU_TSTENCIL", raising=False)
+    monkeypatch.setitem(flags.DEFAULT_POLICY, "MGTPU_TSTENCIL", "1")
+    assert flags.variant_flag("MGTPU_TSTENCIL", np=512) is False
+    monkeypatch.setenv("MGTPU_TSTENCIL", "1")
+    assert flags.variant_flag("MGTPU_TSTENCIL", np=512) is True
+
+
 def test_shape_conditional_flags_build_per_level(monkeypatch):
     # a threshold policy must flip flags level-by-level at build time
     monkeypatch.setenv("MGTPU_TSTENCIL", "np>=16")
