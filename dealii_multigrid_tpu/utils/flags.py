@@ -26,12 +26,19 @@ _COND = re.compile(r"^(np|nc|ns)\s*(>=|<=|>|<)\s*(\d+)$")
 
 # Measured production defaults (env still overrides — set the var to "0" to
 # force a variant off, "1" to force it on everywhere).  Populated from the
-# round-3c TPU measurement session; empty string = off by default.
+# round-4 TPU measurement session (/tmp/measure3d.log 2026-08-18, recorded in
+# RESULTS.md): every variant wins or ties at every measured shape —
+#   r=7/p=4 L7 (NP=512, NS=7854, no cross):  vmult 27.6 -> 26.5 ms
+#   r=7/p=4 L6 (NP=64, NS=7854, cross):      vmult 10.5 -> 6.8 ms
+#   LS r=6/p=4 V-cycle (7 level meshes):     86.0 -> 83.0 ms
+#   L6->L7 transfers: restrict 14.7 -> 11.4, prolong 8.8 -> 5.8 ms
+# The unmeasured coarser levels are sub-ms either way, so the policy is a
+# plain "on" rather than a pseudo-precise shape condition.
 DEFAULT_POLICY: dict[str, str] = {
-    "MGTPU_TSTENCIL": "",
-    "MGTPU_ROW_SINGLE": "",
-    "MGTPU_TEXCHANGE": "",
-    "MGTPU_TTRANSFER": "",
+    "MGTPU_TSTENCIL": "1",
+    "MGTPU_ROW_SINGLE": "1",
+    "MGTPU_TEXCHANGE": "1",
+    "MGTPU_TTRANSFER": "1",
 }
 
 
