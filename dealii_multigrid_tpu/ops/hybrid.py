@@ -925,6 +925,12 @@ class HybridOperator:
     sf_levels: tuple = ()          # fine levels with structured faces (meta)
     sf_patch_rows_meta: tuple = () # per level: tuple of (d, side, count)
     sf_single_rows_meta: tuple = ()  # per level: tuple of (d, side, count)
+    # scatter-round grouping (meta): tuples of sf_levels indices proven
+    # chain-free by the build-time slot-table dependency analysis, so each
+    # round is ONE combined volume-sized scatter.  apply_c rounds ascend,
+    # ct_faces rounds descend; () falls back to one level per round.
+    sf_c_rounds: tuple = ()
+    sf_ct_rounds: tuple = ()
     sf_Eh: jax.Array | None = None  # [2, n1, n1] per-parity h-embedding
     # patch<->singleton cross exchange (active when use_cross): entry
     # 2g+side_p is None or (ppos [m] = pidx*K^2 + b1*K + b2, sidx [m]).
@@ -949,6 +955,15 @@ class HybridOperator:
     use_row_single: bool = False
     use_tstencil: bool = False
     use_texchange: bool = False
+    # transposed-vmult mode (round-4): ONE entry transpose into the
+    # patch-minor flat layout ([lidx, patch] with patches on lanes), every
+    # stage lane-dense on PERMUTED slot tables, ONE exit transpose.  The
+    # dict holds the permuted copies of the slot-indexed tables (built in
+    # make_hybrid_operator when MGTPU_TV is on, single-shard only); None
+    # disables the mode.  Motivation: the per-stage transposes and the
+    # (8,128)-padded lattice materialisations price the L7 vmult at
+    # 26.5 ms where ~11 ms of real work exists (RESULTS.md round-4).
+    tv: dict | None = None
 
     @property
     def dtype(self):
@@ -1006,35 +1021,41 @@ class HybridOperator:
             x = x.at[self.slave_all_slots].set(vals[self.slave_all_src].astype(x.dtype))
         if self.sf_levels:
             E1 = self.sf_E1.astype(x.dtype)
-            # fine levels ASCENDING with a flush per level resolves constraint
+            # fine levels ASCENDING with a flush per ROUND resolves constraint
             # chains (a coarse source plane may itself be the fine side of a
-            # deeper hanging interface); within a level, everything is one
-            # gather + GEMMs + one combined scatter.  Element-priced flat
-            # tables beat block-row restructures here IN CONTEXT (measured
-            # apply_c 0.94 -> 1.41 ms at r=6/p=4, reverted).
-            for i, _lev in enumerate(self.sf_levels):
+            # deeper hanging interface); rounds group the levels the build-time
+            # dependency analysis proved chain-free, so each round is one
+            # gather + GEMMs + ONE combined volume-sized scatter.  Element-
+            # priced flat tables beat block-row restructures here IN CONTEXT
+            # (measured apply_c 0.94 -> 1.41 ms at r=6/p=4, reverted).
+            rounds = self.sf_c_rounds or tuple(
+                (i,) for i in range(len(self.sf_levels))
+            )
+            for rnd in rounds:
                 idxs, vals_ = [], []
-                if self.sf_patch[i] is not None:
-                    face, src, _m = self.sf_patch[i]
-                    sv = x[src]                             # [n, sub, sub]
-                    plane = jnp.einsum(
-                        "nsj,is->nij",
-                        jnp.einsum("nst,jt->nsj", sv, E1, precision=HIGHEST),
-                        E1, precision=HIGHEST,
-                    )
-                    idxs.append(face.reshape(-1))
-                    vals_.append(plane.reshape(-1))
-                if self.sf_single[i] is not None:
-                    face, src, _m, pa, pb = self.sf_single[i]
-                    Ea = self.sf_Eh[pa].astype(x.dtype)     # [n, n1, n1]
-                    Eb = self.sf_Eh[pb].astype(x.dtype)
-                    sv = x[src]                             # [n, n1, n1]
-                    tmp = jnp.einsum("nmk,njk->nmj", sv, Eb, precision=HIGHEST)
-                    plane = jnp.einsum("nmj,nim->nij", tmp, Ea, precision=HIGHEST)
-                    idxs.append(face.reshape(-1))
-                    vals_.append(plane.reshape(-1))
+                for i in rnd:
+                    if self.sf_patch[i] is not None:
+                        face, src, _m = self.sf_patch[i]
+                        sv = x[src]                             # [n, sub, sub]
+                        plane = jnp.einsum(
+                            "nsj,is->nij",
+                            jnp.einsum("nst,jt->nsj", sv, E1, precision=HIGHEST),
+                            E1, precision=HIGHEST,
+                        )
+                        idxs.append(face.reshape(-1))
+                        vals_.append(plane.reshape(-1))
+                    if self.sf_single[i] is not None:
+                        face, src, _m, pa, pb = self.sf_single[i]
+                        Ea = self.sf_Eh[pa].astype(x.dtype)     # [n, n1, n1]
+                        Eb = self.sf_Eh[pb].astype(x.dtype)
+                        sv = x[src]                             # [n, n1, n1]
+                        tmp = jnp.einsum("nmk,njk->nmj", sv, Eb, precision=HIGHEST)
+                        plane = jnp.einsum("nmj,nim->nij", tmp, Ea, precision=HIGHEST)
+                        idxs.append(face.reshape(-1))
+                        vals_.append(plane.reshape(-1))
                 # duplicate indices (slots on two covered faces) receive equal
-                # values, so an unordered scatter-set is well-defined
+                # values, so an unordered scatter-set is well-defined; across
+                # levels of one round the write sets are proven disjoint
                 if idxs:
                     x = x.at[jnp.concatenate(idxs)].set(jnp.concatenate(vals_))
             x = x * self.dirichlet_keep
@@ -1056,10 +1077,23 @@ class HybridOperator:
         E1 = self.sf_E1.astype(r.dtype)
         S = self.S
         # fine-level DESCENDING for the transpose chains; a level's adds land
-        # on level-(l-1) cells, disjoint from its own face reads, so one
-        # combined scatter-add per level is exact
-        for i in range(len(self.sf_levels) - 1, -1, -1):
+        # on level-(l-1) cells, disjoint from its own face reads, and the
+        # build-time rounds group levels whose reads provably miss every
+        # earlier add of the round — so ONE combined scatter-add per round
+        rounds = self.sf_ct_rounds or tuple(
+            (i,) for i in range(len(self.sf_levels) - 1, -1, -1)
+        )
+        for rnd in rounds:
             idxs, vals_ = [], []
+            for i in rnd:
+                idxs, vals_ = self._ct_faces_level(r, i, E1, S, idxs, vals_)
+            r = r.at[jnp.concatenate(idxs)].add(jnp.concatenate(vals_))
+        return r * self.sf_slave_keep
+
+    def _ct_faces_level(self, r, i, E1, S, idxs, vals_):
+        """Collect one level's C^T face contributions (reads + GEMMs only —
+        the combined scatter-add happens once per round in apply_ct_faces)."""
+        if True:
             if self.sf_patch[i] is not None:
                 _face, src, mask = self.sf_patch[i]
                 # read whole patch-face planes via axis slice + block-row
@@ -1106,8 +1140,7 @@ class HybridOperator:
                 contrib = jnp.einsum("nmj,njk->nmk", tmp, Eb, precision=HIGHEST)
                 idxs.append(src.reshape(-1))
                 vals_.append(contrib.reshape(-1))
-            r = r.at[jnp.concatenate(idxs)].add(jnp.concatenate(vals_))
-        return r * self.sf_slave_keep
+        return idxs, vals_
 
     def apply_ct(self, r: jax.Array) -> jax.Array:
         if self.slave_rep.shape[0]:
@@ -1122,6 +1155,204 @@ class HybridOperator:
     @property
     def _K(self) -> int:
         return (self.S - 1) // max(self._n1 - 1, 1)
+
+    def _psweeps_t(self, ut: jax.Array) -> jax.Array:
+        """Plain patch face sweeps on the transposed [S, S, S, NP] bucket:
+        leading-axis slices + one-hot [NP, NP] neighbour GEMMs."""
+        S = self.S
+        P = self.pnbr_P.astype(ut.dtype)
+        for g in range(3):
+            sl_lo = tuple(0 if a == g else slice(None) for a in range(3))
+            sl_hi = tuple((S - 1) if a == g else slice(None) for a in range(3))
+            p_lo, p_hi = ut[sl_lo], ut[sl_hi]
+            add_lo = jnp.matmul(p_hi, P[2 * g], precision=HIGHEST)
+            add_hi = jnp.matmul(p_lo, P[2 * g + 1], precision=HIGHEST)
+            ut = ut.at[sl_lo].add(add_lo)
+            ut = ut.at[sl_hi].add(add_hi)
+        return ut
+
+    # ------------------------------------------------- transposed-vmult (tv)
+    # The whole vmult chain in the patch-minor flat layout: patch slot
+    # (pi, lidx) lives at flat position lidx*NP + pi, singles unchanged.
+    # ONE transpose in, ONE out; every stage runs on self.tv's permuted
+    # tables with patches on the (dense) lane dimension — no (8,128)-padded
+    # lattice materialisation anywhere.
+    def _to_t(self, x: jax.Array) -> jax.Array:
+        ps = self.patch_slots
+        if not ps:
+            return x
+        pt = x[:ps].reshape(self.NP, -1).T.reshape(-1)
+        if x.shape[0] == ps:
+            return pt
+        return jnp.concatenate([pt, x[ps:]])
+
+    def _from_t(self, xt: jax.Array) -> jax.Array:
+        ps = self.patch_slots
+        if not ps:
+            return xt
+        pt = xt[:ps].reshape(-1, self.NP).T.reshape(-1)
+        if xt.shape[0] == ps:
+            return pt
+        return jnp.concatenate([pt, xt[ps:]])
+
+    def _apply_c_t(self, xt: jax.Array) -> jax.Array:
+        tv = self.tv
+        xt = xt * tv["dirichlet_keep"]
+        if self.slave_rep.shape[0]:
+            vals = (self.slave_w * xt[tv["slave_master_slots"]]).sum(-1)
+            xt = xt.at[tv["slave_all_slots"]].set(
+                vals[self.slave_all_src].astype(xt.dtype)
+            )
+        if self.sf_levels:
+            E1 = self.sf_E1.astype(xt.dtype)
+            rounds = self.sf_c_rounds or tuple(
+                (i,) for i in range(len(self.sf_levels))
+            )
+            for rnd in rounds:
+                idxs, vals_ = [], []
+                for i in rnd:
+                    if tv["sf_patch"][i] is not None:
+                        face, src = tv["sf_patch"][i]
+                        sv = xt[src]
+                        plane = jnp.einsum(
+                            "nsj,is->nij",
+                            jnp.einsum("nst,jt->nsj", sv, E1, precision=HIGHEST),
+                            E1, precision=HIGHEST,
+                        )
+                        idxs.append(face.reshape(-1))
+                        vals_.append(plane.reshape(-1))
+                    if tv["sf_single"][i] is not None:
+                        face, src = tv["sf_single"][i]
+                        _f, _s, _m, pa, pb = self.sf_single[i]
+                        Ea = self.sf_Eh[pa].astype(xt.dtype)
+                        Eb = self.sf_Eh[pb].astype(xt.dtype)
+                        sv = xt[src]
+                        tmp = jnp.einsum("nmk,njk->nmj", sv, Eb, precision=HIGHEST)
+                        plane = jnp.einsum(
+                            "nmj,nim->nij", tmp, Ea, precision=HIGHEST
+                        )
+                        idxs.append(face.reshape(-1))
+                        vals_.append(plane.reshape(-1))
+                if idxs:
+                    xt = xt.at[jnp.concatenate(idxs)].set(jnp.concatenate(vals_))
+            xt = xt * tv["dirichlet_keep"]
+        return xt
+
+    def _cell_apply_raw_t(self, xt: jax.Array) -> jax.Array:
+        ps = self.patch_slots
+        outs = []
+        if self.NP:
+            S, NP = self.S, self.NP
+            ut = xt[:ps].reshape(S, S, S, NP)
+
+            def axl(u, mat, axis):
+                return jnp.moveaxis(
+                    jnp.tensordot(mat, u, axes=([1], [axis]), precision=HIGHEST),
+                    0, axis,
+                )
+
+            KS, MS = self.KS, self.MS
+            kx = axl(axl(axl(ut, KS, 0), MS, 1), MS, 2)
+            ky = axl(axl(axl(ut, MS, 0), KS, 1), MS, 2)
+            kz = axl(axl(axl(ut, MS, 0), MS, 1), KS, 2)
+            rt = (kx + ky + kz) * self.pscale[None, None, None, :]
+            outs.append(rt.reshape(-1))
+        if self.NS:
+            xs = xt[ps:].reshape(self.NS, self.nloc)
+            rs = jnp.matmul(xs, self.elem, precision=HIGHEST) * self.sscale[:, None]
+            outs.append(rs.reshape(-1))
+        return outs[0] if len(outs) == 1 else jnp.concatenate(outs)
+
+    def _ct_faces_t(self, rt: jax.Array) -> jax.Array:
+        if not self.sf_levels:
+            return rt
+        tv = self.tv
+        E1 = self.sf_E1.astype(rt.dtype)
+        rounds = self.sf_ct_rounds or tuple(
+            (i,) for i in range(len(self.sf_levels) - 1, -1, -1)
+        )
+        for rnd in rounds:
+            idxs, vals_ = [], []
+            for i in rnd:
+                if tv["sf_patch"][i] is not None:
+                    face, src = tv["sf_patch"][i]
+                    mask = self.sf_patch[i][2]
+                    # surface-priced flat gather — the transposed layout has
+                    # no cheap lattice-slice view, and the face population is
+                    # small (census: 209k elements at r=7/p=4 L7)
+                    plane = rt[face] * mask.astype(rt.dtype)
+                    tmp = jnp.einsum("nij,is->nsj", plane, E1, precision=HIGHEST)
+                    contrib = jnp.einsum("nsj,jt->nst", tmp, E1, precision=HIGHEST)
+                    idxs.append(src.reshape(-1))
+                    vals_.append(contrib.reshape(-1))
+                if tv["sf_single"][i] is not None:
+                    face, src = tv["sf_single"][i]
+                    _f, _s, mask, pa, pb = self.sf_single[i]
+                    Ea = self.sf_Eh[pa].astype(rt.dtype)
+                    Eb = self.sf_Eh[pb].astype(rt.dtype)
+                    plane = rt[face] * mask.astype(rt.dtype)
+                    tmp = jnp.einsum("nij,nim->nmj", plane, Ea, precision=HIGHEST)
+                    contrib = jnp.einsum("nmj,njk->nmk", tmp, Eb, precision=HIGHEST)
+                    idxs.append(src.reshape(-1))
+                    vals_.append(contrib.reshape(-1))
+            rt = rt.at[jnp.concatenate(idxs)].add(jnp.concatenate(vals_))
+        return rt * tv["sf_slave_keep"]
+
+    def _exchange_t(self, rt: jax.Array) -> jax.Array:
+        tv = self.tv
+        ps = self.patch_slots
+        sums = [rt[slots].sum(-1) for slots, _, _ in tv["irr_buckets"]]
+        if self.NP:
+            S, NP = self.S, self.NP
+            ut = rt[:ps].reshape(S, S, S, NP)
+            if self.use_cross:
+                us = rt[ps:].reshape(self.NS, self.nloc)
+                ut, us = self._exchange_cross_t_core(ut, us)
+                rt = jnp.concatenate([ut.reshape(-1), us.reshape(-1)])
+            else:
+                ut = self._psweeps_t(ut)
+                parts = [ut.reshape(-1)]
+                if self.NS:
+                    us = rt[ps:].reshape(self.NS, self.nloc)
+                    if self.use_ssweep:
+                        us = self._ssweep_rows(us)
+                    parts.append(us.reshape(-1))
+                rt = parts[0] if len(parts) == 1 else jnp.concatenate(parts)
+        elif self.NS and self.use_ssweep:
+            us = self._ssweep_rows(rt.reshape(self.NS, self.nloc))
+            rt = us.reshape(-1)
+        if sums:
+            out_all = jnp.concatenate([b[1] for b in tv["irr_buckets"]])
+            val_all = jnp.concatenate(
+                [
+                    s[g].astype(rt.dtype)
+                    for (_, _, g), s in zip(tv["irr_buckets"], sums)
+                ]
+            )
+            rt = rt.at[out_all].set(val_all)
+        return rt
+
+    def _apply_ct_t(self, rt: jax.Array) -> jax.Array:
+        tv = self.tv
+        if self.slave_rep.shape[0]:
+            vals = rt[tv["slave_rep"]]
+            rt = rt * tv["slave_keep"]
+            rt = rt.at[tv["ct_target"]].add(
+                (self.ct_w * vals[self.ct_src]).astype(rt.dtype)
+            )
+            if self.refresh_slots.shape[0]:
+                rt = rt.at[tv["refresh_slots"]].set(rt[tv["refresh_src"]])
+        return rt * tv["dirichlet_keep"]
+
+    def _vmult_t(self, x: jax.Array) -> jax.Array:
+        xt = self._to_t(x)
+        xt = self._apply_c_t(xt)
+        rt = self._cell_apply_raw_t(xt)
+        rt = self._ct_faces_t(rt)
+        rt = self._exchange_t(rt)
+        rt = self._apply_ct_t(rt)
+        r = self._from_t(rt)
+        return r * self.constrained_keep + x * (1.0 - self.constrained_keep)
 
     def _ssweep_rows(self, us: jax.Array) -> jax.Array:
         """Whole-row singleton face sweeps: per lattice axis, one block-row
@@ -1212,16 +1443,25 @@ class HybridOperator:
         (mask folded in), and the singleton side is whole-row (_ssweep_rows
         machinery).  Same adds-read-pre-axis-values semantics as
         _exchange_cross."""
+        S, NP = self.S, self.NP
+        ut = self._patches2d(r).T.reshape(S, S, S, NP)
+        us = self._singles(r)
+        ut, us = self._exchange_cross_t_core(ut, us)
+        r = self._with_patches2d(r, ut.reshape(S**3, NP).T)
+        return self._with_singles(r, us)
+
+    def _exchange_cross_t_core(self, ut: jax.Array, us: jax.Array):
+        """The (ut [S,S,S,NP], us [NS,nloc]) core of _exchange_cross_t —
+        shared with the transposed-vmult pipeline, which already holds the
+        buckets in this layout."""
         S, n1 = self.S, self._n1
         K = self._K
         NP, NS = self.NP, self.NS
-        E = self.Easm.astype(r.dtype)
-        T = self.ssweep_T.astype(r.dtype)
-        sel = self.sface_sel.astype(r.dtype)
-        selT = self.sface_selT.astype(r.dtype)
-        P = self.pnbr_P.astype(r.dtype)
-        ut = self._patches2d(r).T.reshape(S, S, S, NP)
-        us = self._singles(r)
+        E = self.Easm.astype(ut.dtype)
+        T = self.ssweep_T.astype(ut.dtype)
+        sel = self.sface_sel.astype(ut.dtype)
+        selT = self.sface_selT.astype(ut.dtype)
+        P = self.pnbr_P.astype(ut.dtype)
         for g in range(3):
             sl_lo = tuple(0 if a == g else slice(None) for a in range(3))
             sl_hi = tuple((S - 1) if a == g else slice(None) for a in range(3))
@@ -1243,7 +1483,7 @@ class HybridOperator:
                 sp = jnp.matmul(
                     us[sidx], selT[2 * ds + s_side], precision=HIGHEST
                 ).reshape(-1, n1, n1)
-                grid = jnp.zeros((NP * K * K, n1, n1), r.dtype).at[ppos].set(sp)
+                grid = jnp.zeros((NP * K * K, n1, n1), ut.dtype).at[ppos].set(sp)
                 Gm_t = (
                     grid.reshape(NP, K, K, n1, n1)
                     .transpose(1, 3, 2, 4, 0)
@@ -1269,8 +1509,7 @@ class HybridOperator:
             ut = ut.at[sl_lo].add(add_plo)
             ut = ut.at[sl_hi].add(add_phi)
             us = us + add_us
-        r = self._with_patches2d(r, ut.reshape(S**3, NP).T)
-        return self._with_singles(r, us)
+        return ut, us
 
     def _exchange_cross(self, r: jax.Array) -> jax.Array:
         """Interleaved structured exchange: per geometric axis, patch sweeps,
@@ -1379,18 +1618,8 @@ class HybridOperator:
                 # one-hot neighbour GEMMs on [S, S, S, NP] (LS level meshes
                 # are all-patch, no cross tables — this is their hot path)
                 S = self.S
-                P = self.pnbr_P.astype(r.dtype)
                 ut = self._patches2d(r).T.reshape(S, S, S, self.NP)
-                for g in range(3):
-                    sl_lo = tuple(0 if a == g else slice(None) for a in range(3))
-                    sl_hi = tuple(
-                        (S - 1) if a == g else slice(None) for a in range(3)
-                    )
-                    p_lo, p_hi = ut[sl_lo], ut[sl_hi]
-                    add_lo = jnp.matmul(p_hi, P[2 * g], precision=HIGHEST)
-                    add_hi = jnp.matmul(p_lo, P[2 * g + 1], precision=HIGHEST)
-                    ut = ut.at[sl_lo].add(add_lo)
-                    ut = ut.at[sl_hi].add(add_hi)
+                ut = self._psweeps_t(ut)
                 r = self._with_patches2d(r, ut.reshape(S**3, self.NP).T)
             elif self.NP:
                 up = sweeps(self._patches(r), self.nbr, self.nbr_mask, self.S)
@@ -1403,8 +1632,16 @@ class HybridOperator:
                 us = self._singles(r).reshape(self.NS, n1, n1, n1)
                 us = sweeps(us, self.snbr, self.snbr_mask, n1)
                 r = self._with_singles(r, us)
-        for (slots, out_slots, out_group), s in zip(self.irr_buckets, sums):
-            r = r.at[out_slots].set(s[out_group].astype(r.dtype))
+        if sums:
+            # ONE combined scatter for all size buckets: bucket dofs are
+            # disjoint, and each sequential volume-sized .at[].set was measured
+            # to cost a full-vector copy (~0.39 ms at r=7/p=4 — 7 buckets were
+            # 2.7 ms of the 11 ms exchange)
+            out_all = jnp.concatenate([b[1] for b in self.irr_buckets])
+            val_all = jnp.concatenate(
+                [s[g].astype(r.dtype) for (_, _, g), s in zip(self.irr_buckets, sums)]
+            )
+            r = r.at[out_all].set(val_all)
         return r
 
     # ------------------------------------------------------------------ apply
@@ -1450,6 +1687,8 @@ class HybridOperator:
         return pack_buckets(rp, rs, self.n_shards)
 
     def vmult(self, x: jax.Array) -> jax.Array:
+        if self.tv is not None:
+            return self._vmult_t(x)
         r = self.cell_apply_raw(self.apply_c(x))
         r = self.apply_ct_faces(r)
         r = self.exchange(r)
@@ -1472,9 +1711,9 @@ jax.tree_util.register_dataclass(
         "sf_patch", "sf_single", "sf_patch_rows", "sf_single_rows",
         "sf_patch_src", "sf_single_src", "sf_E1",
         "sf_slave_keep", "sf_Eh", "cross", "Easm",
-        "ssweep_T", "sface_sel", "sface_selT", "pnbr_P",
+        "ssweep_T", "sface_sel", "sface_selT", "pnbr_P", "tv",
     ],
-    meta_fields=["sf_levels", "sf_patch_rows_meta", "sf_single_rows_meta", "use_ssweep", "use_cross", "use_row_single", "use_tstencil", "use_texchange", "NP", "NS", "S", "nloc", "n_slots", "n_dofs", "n_shards"],
+    meta_fields=["sf_levels", "sf_patch_rows_meta", "sf_single_rows_meta", "sf_c_rounds", "sf_ct_rounds", "use_ssweep", "use_cross", "use_row_single", "use_tstencil", "use_texchange", "NP", "NS", "S", "nloc", "n_slots", "n_dofs", "n_shards"],
 )
 
 
@@ -1553,9 +1792,12 @@ def make_hybrid_operator(
     sf_patch, sf_single = [], []
     sf_patch_rows, sf_patch_rows_meta = [], []
     sf_single_rows, sf_single_rows_meta = [], []
+    lvl_face_np, lvl_src_np = [], []  # flat numpy slot sets per level (rounds)
+    sf_patch_np, sf_single_np = [], []  # (face, src) numpy copies (tv tables)
     for lev in sf_levels:
         faces, srcs, masks = [], [], []
         rows, rows_meta = [], []
+        np_faces, np_srcs = [], []
         for l, d, side, fidx, src_slots in sf_raw:
             if l != lev:
                 continue
@@ -1565,15 +1807,21 @@ def make_hybrid_operator(
             masks.append(ct_mask(fs))
             rows.append(to_device(fidx, jnp.int32))
             rows_meta.append((d, side, len(fidx)))
-        sf_patch.append(
-            (
-                to_device(np.concatenate(faces), jnp.int32),
-                to_device(np.concatenate(srcs), jnp.int32),
-                to_device(np.concatenate(masks), dtype),
+            np_faces.append(fs.reshape(-1))
+            np_srcs.append(np.asarray(src_slots).reshape(-1))
+        if faces:
+            cat_f, cat_s = np.concatenate(faces), np.concatenate(srcs)
+            sf_patch_np.append((cat_f, cat_s))
+            sf_patch.append(
+                (
+                    to_device(cat_f, jnp.int32),
+                    to_device(cat_s, jnp.int32),
+                    to_device(np.concatenate(masks), dtype),
+                )
             )
-            if faces
-            else None
-        )
+        else:
+            sf_patch_np.append(None)
+            sf_patch.append(None)
         sf_patch_rows.append(tuple(rows))
         sf_patch_rows_meta.append(tuple(rows_meta))
         faces, srcs, masks, pas, pbs = [], [], [], [], []
@@ -1589,19 +1837,64 @@ def make_hybrid_operator(
             pbs.append(np.full(len(sidx), pb, np.int64))
             srows.append(to_device(sidx, jnp.int32))
             srows_meta.append((d, side, len(sidx)))
+            np_faces.append(fs.reshape(-1))
+            np_srcs.append(np.asarray(src_slots).reshape(-1))
+        lvl_face_np.append(
+            np.concatenate(np_faces) if np_faces else np.zeros(0, np.int64)
+        )
+        lvl_src_np.append(
+            np.concatenate(np_srcs) if np_srcs else np.zeros(0, np.int64)
+        )
         sf_single_rows.append(tuple(srows))
         sf_single_rows_meta.append(tuple(srows_meta))
-        sf_single.append(
-            (
-                to_device(np.concatenate(faces), jnp.int32),
-                to_device(np.concatenate(srcs), jnp.int32),
-                to_device(np.concatenate(masks), dtype),
-                to_device(np.concatenate(pas), jnp.int32),
-                to_device(np.concatenate(pbs), jnp.int32),
+        if faces:
+            cat_f, cat_s = np.concatenate(faces), np.concatenate(srcs)
+            sf_single_np.append((cat_f, cat_s))
+            sf_single.append(
+                (
+                    to_device(cat_f, jnp.int32),
+                    to_device(cat_s, jnp.int32),
+                    to_device(np.concatenate(masks), dtype),
+                    to_device(np.concatenate(pas), jnp.int32),
+                    to_device(np.concatenate(pbs), jnp.int32),
+                )
             )
-            if faces
-            else None
-        )
+        else:
+            sf_single_np.append(None)
+            sf_single.append(None)
+    # ---- scatter-round grouping (round-4): each volume-sized .at[].set/add
+    # was measured to cost a full-vector copy (~0.39 ms at r=7/p=4, ~12 of
+    # the 27.6 ms L7 vmult across apply_c/ct_faces/exchange), so merge the
+    # per-level scatters into combined rounds whenever the EXACT slot tables
+    # prove no constraint chaining between the levels.  apply_c (ascending)
+    # needs a flush before level j if j READS (src) a slot an earlier level
+    # WROTE (face), or writes overlap (set order); ct_faces (descending,
+    # scatter-ADD) only before level i if i reads (face) a slot a finer
+    # level adds into (src) — add/add overlaps commute.
+    def _scatter_rounds(order, reads, writes, disjoint_writes):
+        rounds: list[tuple[int, ...]] = []
+        cur: list[int] = []
+        cur_w = np.zeros(0, np.int64)
+        for i in order:
+            conflict = bool(cur) and (
+                np.isin(reads[i], cur_w).any()
+                or (disjoint_writes and np.isin(writes[i], cur_w).any())
+            )
+            if conflict:
+                rounds.append(tuple(cur))
+                cur, cur_w = [], np.zeros(0, np.int64)
+            cur.append(i)
+            cur_w = np.concatenate([cur_w, writes[i]])
+        if cur:
+            rounds.append(tuple(cur))
+        return tuple(rounds)
+
+    sf_c_rounds = _scatter_rounds(
+        range(len(sf_levels)), lvl_src_np, lvl_face_np, True
+    )
+    sf_ct_rounds = _scatter_rounds(
+        range(len(sf_levels) - 1, -1, -1), lvl_face_np, lvl_src_np, False
+    )
     sf_slave_keep = np.ones(fmt.n_slots, np.float32)
     sf_slave_keep[slave_slot] = 0.0
     from . import tensor as _tensor
@@ -1660,6 +1953,7 @@ def make_hybrid_operator(
     # size-bucketed irregular exchange tables
     import numpy as _np
     irr_buckets = []
+    irr_np = []
     if fmt.irr_slots.shape[0]:
         counts = (fmt.irr_slots < fmt.n_slots).sum(axis=1)
         gidx_of = {}
@@ -1670,6 +1964,9 @@ def make_hybrid_operator(
             gmap = _np.full(fmt.irr_slots.shape[0], -1, _np.int64)
             gmap[gsel] = _np.arange(len(gsel))
             osel = gmap[fmt.irr_out_group] >= 0
+            irr_np.append(
+                (slots_s, fmt.irr_out_slots[osel], gmap[fmt.irr_out_group[osel]])
+            )
             irr_buckets.append(
                 (
                     to_device(slots_s, jnp.int32),
@@ -1721,6 +2018,56 @@ def make_hybrid_operator(
         "MGTPU_TEXCHANGE", np=fmt.n_patches, ns=fmt.n_singles
     )
 
+    # ---- transposed-vmult table permutation (tv mode) ---------------------
+    # Built host-side (device-side gathers would each cost a fresh remote
+    # compile of a volume-sized program).  Single-shard only; the patch
+    # bucket needs the one-hot neighbour matrices for its sweeps.
+    tv = None
+    if (
+        fmt.n_shards == 1
+        and (fmt.n_patches == 0 or pnbr_P is not None)
+        and variant_flag("MGTPU_TV", np=fmt.n_patches, ns=fmt.n_singles)
+    ):
+        S3 = S**3
+        ps_ = fmt.n_patches * S3
+        perm = np.arange(fmt.n_slots + 1, dtype=np.int64)  # pad id -> itself
+        if fmt.n_patches:
+            lidx = np.arange(ps_, dtype=np.int64)
+            perm[:ps_] = (lidx % S3) * fmt.n_patches + (lidx // S3)
+
+        def pid(t):
+            return to_device(perm[np.asarray(t, np.int64)], jnp.int32)
+
+        def pval(v):
+            out = np.empty_like(np.asarray(v))
+            out[perm[:-1]] = v
+            return to_device(out, dtype)
+
+        tv = {
+            "dirichlet_keep": pval(dirichlet_keep),
+            "slave_keep": pval(slave_keep),
+            "sf_slave_keep": pval(sf_slave_keep),
+            "slave_master_slots": pid(
+                master_rep if master_rep.size else np.zeros((0, Kc), np.int64)
+            ),
+            "slave_all_slots": pid(sl_flat),
+            "slave_rep": pid(
+                fmt.rep_slot[hang.slave] if len(hang.slave) else np.zeros(0, np.int64)
+            ),
+            "ct_target": pid(ct_target),
+            "refresh_slots": pid(refresh_slots),
+            "refresh_src": pid(refresh_src),
+            "irr_buckets": tuple(
+                (pid(a), pid(b), to_device(c, jnp.int32)) for a, b, c in irr_np
+            ),
+            "sf_patch": tuple(
+                None if t is None else (pid(t[0]), pid(t[1])) for t in sf_patch_np
+            ),
+            "sf_single": tuple(
+                None if t is None else (pid(t[0]), pid(t[1])) for t in sf_single_np
+            ),
+        }
+
     return HybridOperator(
         KS=to_device(KS, dtype),
         MS=to_device(MS, dtype),
@@ -1763,6 +2110,8 @@ def make_hybrid_operator(
         sf_patch_src=(),
         sf_single_src=(),
         sf_levels=tuple(int(l) for l in sf_levels),
+        sf_c_rounds=sf_c_rounds,
+        sf_ct_rounds=sf_ct_rounds,
         sf_E1=to_device(E1, dtype),
         sf_slave_keep=to_device(sf_slave_keep, dtype),
         sf_Eh=to_device(np.stack([Eh[0], Eh[1]]), dtype),
@@ -1776,6 +2125,7 @@ def make_hybrid_operator(
         use_row_single=use_row_single,
         use_tstencil=use_tstencil,
         use_texchange=use_texchange,
+        tv=tv,
         NP=fmt.n_patches,
         NS=fmt.n_singles,
         S=fmt.S,

@@ -160,7 +160,13 @@ class HybridTransfer:
 
     def prolong(self, uc: jax.Array) -> jax.Array:
         if not self.ls_mode:
-            uc = self.coarse_op.apply_c(uc)
+            cop = self.coarse_op
+            if cop.tv is not None:
+                # run C through the lane-dense transposed pipeline (one
+                # transpose each way beats the padded-lattice passes)
+                uc = cop._from_t(cop._apply_c_t(cop._to_t(uc)))
+            else:
+                uc = cop.apply_c(uc)
         dtype = uc.dtype
         S_c, S_f, sub = self.S_c, self.S_f, self.sub
         if self.use_ttransfer and self.patch_hot and self.NP_f:
@@ -301,6 +307,13 @@ class HybridTransfer:
                     v = jnp.matmul(rs[sidx], M.astype(dtype), precision=HIGHEST)
                     acc_s = acc_s.at[crow].add(v)
                 acc = cop._with_singles(acc, acc_s)
+        if cop.tv is not None:
+            acc_t = cop._to_t(acc)
+            if self.ls_mode:
+                return cop._from_t(cop._exchange_t(acc_t))
+            acc_t = cop._ct_faces_t(acc_t)
+            acc_t = cop._exchange_t(acc_t)
+            return cop._from_t(cop._apply_ct_t(acc_t))
         if self.ls_mode:
             return cop.exchange(acc)
         acc = cop.apply_ct_faces(acc)

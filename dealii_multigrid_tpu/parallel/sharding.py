@@ -170,6 +170,7 @@ def place_hybrid_op(op, dmesh: Mesh):
         sface_sel=put(op.sface_sel, rep) if op.sface_sel is not None else None,
         sface_selT=put(op.sface_selT, rep) if op.sface_selT is not None else None,
         pnbr_P=put(op.pnbr_P, rep) if op.pnbr_P is not None else None,
+        tv=rep_tree(op.tv) if op.tv is not None else None,
     )
 
 

@@ -283,16 +283,22 @@ class LSHybridLevel:
     def dot(self, x, y):
         return self.op.dot(x, y)
 
+    def _raw_exchanged(self, u: jax.Array) -> jax.Array:
+        """exchange(cell_apply_raw(u)) — via the lane-dense transposed
+        pipeline when the operator carries tv tables."""
+        op = self.op
+        if op.tv is not None:
+            return op._from_t(op._exchange_t(op._cell_apply_raw_t(op._to_t(u))))
+        return op.exchange(op.cell_apply_raw(u))
+
     # Γ-rows of the raw operator applied to an interior-supported function
     # (operator.h:191-205); the exchange assembles the raw per-slot sums
     def interface_down(self, u: jax.Array) -> jax.Array:
-        r = self.op.exchange(self.op.cell_apply_raw(u * self.op.dirichlet_keep))
-        return r * self.edge_ind
+        return self._raw_exchanged(u * self.op.dirichlet_keep) * self.edge_ind
 
     # interior rows of the raw operator applied to the Γ part (operator.h:207-226)
     def interface_up(self, u: jax.Array) -> jax.Array:
-        r = self.op.exchange(self.op.cell_apply_raw(u * self.edge_ind))
-        return r * self.op.dirichlet_keep
+        return self._raw_exchanged(u * self.edge_ind) * self.op.dirichlet_keep
 
 
 jax.tree_util.register_dataclass(

@@ -39,6 +39,9 @@ DEFAULT_POLICY: dict[str, str] = {
     "MGTPU_ROW_SINGLE": "1",
     "MGTPU_TEXCHANGE": "1",
     "MGTPU_TTRANSFER": "1",
+    # transposed-vmult pipeline (single transpose in/out, permuted tables,
+    # merged scatter rounds) — staged off until the TPU measurement picks it
+    "MGTPU_TV": "",
 }
 
 

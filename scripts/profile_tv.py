@@ -1,0 +1,120 @@
+"""TV-mode (transposed-vmult) probe at bench scale: vmult + per-stage
+timings for base / all-variant / tv on the two hot levels of r=7/p=4,
+plus a V-cycle comparison via profile_r7's protocol.
+
+Builds ONE set of levels with MGTPU_TV=1 (plus the production variant
+flags); the baseline and all_t operators are the same build with
+replace(tv=None, ...) so the comparison is apples-to-apples.
+
+Usage: PYTHONPATH=/root/repo:$PYTHONPATH python scripts/profile_tv.py [r] [p]
+"""
+
+import dataclasses
+import os
+import sys
+import time
+
+os.environ.setdefault("MGTPU_TV", "1")
+
+if os.environ.get("MGTPU_PLATFORM"):  # CPU smoke-testing
+    import jax as _jax_platform_shim
+
+    _jax_platform_shim.config.update(
+        "jax_platforms", os.environ["MGTPU_PLATFORM"]
+    )
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _timed_call(run, *args):
+    t0 = time.perf_counter()
+    r = run(*args)
+    float(jnp.asarray(jax.tree.leaves(r)[0]).ravel()[0])
+    return time.perf_counter() - t0
+
+
+def timeit_looped(f, o, v, n_loop=8, reps=2):
+    def make(n):
+        @jax.jit
+        def run(o, v):
+            out0 = f(o, v)
+
+            def body(k, acc):
+                s = acc.ravel()[0].astype(jnp.float32)
+                vv = v * (1 + 1e-30 * s.astype(v.dtype))
+                return acc + f(o, vv)
+
+            return jax.lax.fori_loop(0, n, body, jnp.zeros_like(out0))
+
+        return run
+
+    r1, r2 = make(n_loop), make(2 * n_loop)
+    r1(o, v), r2(o, v)
+    t1 = min(_timed_call(r1, o, v) for _ in range(reps))
+    t2 = min(_timed_call(r2, o, v) for _ in range(reps))
+    return (t2 - t1) / n_loop
+
+
+def main():
+    r = int(sys.argv[1]) if len(sys.argv) > 1 else 7
+    p = int(sys.argv[2]) if len(sys.argv) > 2 else 4
+
+    from dealii_multigrid_tpu import api
+    from dealii_multigrid_tpu.mesh import generators
+    from dealii_multigrid_tpu.mesh.coarsening import geometric_coarsening_sequence
+
+    t0 = time.time()
+    mesh = generators.create("quadrant", 3, r, 0)
+    tri_seq = geometric_coarsening_sequence(mesh)
+    plan = api.gc_level_plan("HMG-global", tri_seq, p)
+    levels = {}
+    for li in (len(plan) - 1, len(plan) - 2):
+        m, d = plan[li]
+        levels[li] = api.build_level_hybrid(m, d, jnp.float32)
+    print(f"setup {time.time()-t0:.1f}s", flush=True)
+
+    rng = np.random.default_rng(0)
+    for li in sorted(levels, reverse=True):
+        op = levels[li].op
+        assert op.tv is not None, f"L{li}: tv tables missing"
+        x = jnp.asarray(rng.standard_normal(op.n_slots), jnp.float32)
+        print(
+            f"--- L{li}: slots={op.n_slots} NP={op.NP} NS={op.NS} "
+            f"cross={op.use_cross} c_rounds={op.sf_c_rounds} "
+            f"ct_rounds={op.sf_ct_rounds}",
+            flush=True,
+        )
+        base = dataclasses.replace(
+            op, tv=None, use_tstencil=False, use_row_single=False,
+            use_texchange=False,
+        )
+        all_t = dataclasses.replace(op, tv=None)
+        variants = [("base+rounds", base), ("all_t+rounds", all_t), ("tv", op)]
+        for vname, vop in variants:
+            t = timeit_looped(lambda o, v: o.vmult(v), vop, x)
+            print(f"  vmult[{vname:12s}] {t*1e3:8.3f} ms", flush=True)
+        # tv stage decomposition
+        xt = op._to_t(x)
+        stages = [
+            ("to_t", lambda o, v: o._to_t(v), x),
+            ("apply_c_t", lambda o, v: o._apply_c_t(v), xt),
+            ("stencil_t", lambda o, v: o._cell_apply_raw_t(v), xt),
+            ("ct_faces_t", lambda o, v: o._ct_faces_t(v), xt),
+            ("exchange_t", lambda o, v: o._exchange_t(v), xt),
+            ("apply_ct_t", lambda o, v: o._apply_ct_t(v), xt),
+            ("from_t", lambda o, v: o._from_t(v), xt),
+        ]
+        for name, f, arg in stages:
+            t = timeit_looped(f, op, arg)
+            print(f"  {name:14s} {t*1e3:8.3f} ms", flush=True)
+        # exactness spot-check on-device
+        a = np.asarray(all_t.vmult(x))
+        b = np.asarray(op.vmult(x))
+        rel = np.abs(a - b).max() / max(np.abs(a).max(), 1e-30)
+        print(f"  tv vs all_t rel err: {rel:.2e}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -104,6 +104,61 @@ def test_row_ssweep_matches_lattice_path():
     assert hit
 
 
+@pytest.mark.parametrize(
+    "geom,r,p,expect_cross",
+    [("quadrant", 4, 2, False), ("annulus", 4, 2, False),
+     ("quadrant", 5, 3, True)],
+)
+def test_tv_vmult_matches_baseline(geom, r, p, expect_cross, monkeypatch):
+    # transposed-vmult mode: ONE entry/exit transpose, permuted tables,
+    # merged scatter rounds — must be the SAME operator as the baseline up
+    # to f.p. summation order.  tv tables are built at operator-build time
+    # (MGTPU_TV), and replace(op, tv=None) recovers the baseline path on the
+    # very same build.
+    monkeypatch.setenv("MGTPU_TV", "1")
+    levels = _levels(geom, r, p, jnp.float64)
+    rng = np.random.default_rng(13)
+    checked_cross = checked = False
+    for lv in levels:
+        op = lv.op
+        if op.tv is None:
+            continue
+        base_op = dataclasses.replace(op, tv=None)
+        x = jnp.asarray(rng.standard_normal(op.n_slots), jnp.float64)
+        base = np.asarray(base_op.vmult(x))
+        scale = max(np.abs(base).max(), 1.0)
+        np.testing.assert_allclose(
+            np.asarray(op.vmult(x)), base, rtol=0, atol=1e-12 * scale
+        )
+        # round-trip of the layout permutation is exact
+        np.testing.assert_array_equal(
+            np.asarray(op._from_t(op._to_t(x))), np.asarray(x)
+        )
+        checked = True
+        checked_cross |= bool(op.use_cross)
+    assert checked, "no level built tv tables"
+    if expect_cross:
+        assert checked_cross, "no tv level exercised the cross-exchange path"
+
+
+def test_scatter_rounds_cover_all_levels():
+    # the build-time dependency grouping must partition the sf level list
+    levels = _levels("quadrant", 5, 3, jnp.float64)
+    for lv in levels:
+        op = lv.op
+        if not op.sf_levels:
+            continue
+        n = len(op.sf_levels)
+        flat_c = [i for rnd in op.sf_c_rounds for i in rnd]
+        flat_ct = [i for rnd in op.sf_ct_rounds for i in rnd]
+        assert sorted(flat_c) == list(range(n))
+        assert sorted(flat_ct) == list(range(n))
+        assert flat_c == sorted(flat_c), "apply_c rounds must ascend"
+        assert flat_ct == sorted(flat_ct, reverse=True), (
+            "ct_faces rounds must descend"
+        )
+
+
 def test_variant_flag_grammar(monkeypatch):
     from dealii_multigrid_tpu.utils.flags import variant_flag
 
