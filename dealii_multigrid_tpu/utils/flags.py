@@ -39,9 +39,11 @@ DEFAULT_POLICY: dict[str, str] = {
     "MGTPU_ROW_SINGLE": "1",
     "MGTPU_TEXCHANGE": "1",
     "MGTPU_TTRANSFER": "1",
-    # transposed-vmult pipeline (single transpose in/out, permuted tables,
-    # merged scatter rounds) — staged off until the TPU measurement picks it
-    "MGTPU_TV": "",
+    # transposed-vmult pipeline (single transpose in/out, permuted tables):
+    # measured 17.75 vs 22.3 ms all-variant at r=7/p=4 L7 (NP=512), but
+    # 6.5 vs 5.1 at L6 (NP=64, lanes half-empty + transpose overhead) —
+    # lane-dense pays when the patch count fills the 128 lanes
+    "MGTPU_TV": "np>=256",
 }
 
 

@@ -109,11 +109,18 @@ def main():
         for name, f, arg in stages:
             t = timeit_looped(f, op, arg)
             print(f"  {name:14s} {t*1e3:8.3f} ms", flush=True)
-        # exactness spot-check on-device
-        a = np.asarray(all_t.vmult(x))
-        b = np.asarray(op.vmult(x))
+        # exactness spot-check on-device.  MUST use a slot-CONSISTENT input
+        # (all slots of a dof equal): apply_c's scatter-set relies on
+        # duplicate face targets receiving equal values, so on inconsistent
+        # vectors the winner is legitimately backend/program-dependent (a
+        # raw randn vector showed a spurious 2.3e-3 'error' here).
+        fmt = levels[li].fmt
+        u = rng.standard_normal(fmt.dofh.n_dofs).astype(np.float32)
+        xc = jnp.asarray(fmt.from_global(u).astype(np.float32))
+        a = np.asarray(all_t.vmult(xc))
+        b = np.asarray(op.vmult(xc))
         rel = np.abs(a - b).max() / max(np.abs(a).max(), 1e-30)
-        print(f"  tv vs all_t rel err: {rel:.2e}", flush=True)
+        print(f"  tv vs all_t rel err (consistent input): {rel:.2e}", flush=True)
 
 
 if __name__ == "__main__":
