@@ -1344,15 +1344,20 @@ class HybridOperator:
                 rt = rt.at[tv["refresh_slots"]].set(rt[tv["refresh_src"]])
         return rt * tv["dirichlet_keep"]
 
-    def _vmult_t(self, x: jax.Array) -> jax.Array:
-        xt = self._to_t(x)
-        xt = self._apply_c_t(xt)
-        rt = self._cell_apply_raw_t(xt)
+    def _vmult_t_core(self, xt: jax.Array) -> jax.Array:
+        """Full vmult in the transposed layout (T in, T out) — lets callers
+        that chain applies with elementwise ops (the Chebyshev smoother)
+        keep their state in T space and skip the per-apply transposes."""
+        yt = self._apply_c_t(xt)
+        rt = self._cell_apply_raw_t(yt)
         rt = self._ct_faces_t(rt)
         rt = self._exchange_t(rt)
         rt = self._apply_ct_t(rt)
-        r = self._from_t(rt)
-        return r * self.constrained_keep + x * (1.0 - self.constrained_keep)
+        ck = self.tv["constrained_keep"]
+        return rt * ck + xt * (1.0 - ck)
+
+    def _vmult_t(self, x: jax.Array) -> jax.Array:
+        return self._from_t(self._vmult_t_core(self._to_t(x)))
 
     def _ssweep_rows(self, us: jax.Array) -> jax.Array:
         """Whole-row singleton face sweeps: per lattice axis, one block-row
@@ -2047,6 +2052,7 @@ def make_hybrid_operator(
             "dirichlet_keep": pval(dirichlet_keep),
             "slave_keep": pval(slave_keep),
             "sf_slave_keep": pval(sf_slave_keep),
+            "constrained_keep": pval(constrained_keep),
             "slave_master_slots": pid(
                 master_rep if master_rep.size else np.zeros((0, Kc), np.int64)
             ),
@@ -2134,6 +2140,18 @@ def make_hybrid_operator(
         n_dofs=dofh.n_dofs,
         n_shards=fmt.n_shards,
     )
+
+
+def tv_permute_host(op: "HybridOperator", v: np.ndarray) -> np.ndarray:
+    """Value-permute a [n_slots] HOST vector into the tv (patch-minor)
+    layout — the numpy mirror of op._to_t, for setup-time table permutation
+    without paying a remote compile for a standalone transpose program."""
+    S3 = op.S**3
+    ps = op.NP * S3
+    out = np.array(v, copy=True)
+    if op.NP:
+        out[:ps] = out[:ps].reshape(op.NP, S3).T.reshape(-1)
+    return out
 
 
 def cell_slot_table(fmt: HybridFormat) -> np.ndarray:

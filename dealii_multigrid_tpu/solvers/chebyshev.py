@@ -342,6 +342,12 @@ class ChebyshevSmoother:
     degree: int
     theta: float  # interval centre
     delta: float  # interval half-width
+    # inv_diag in the operator's tv (patch-minor) layout: when present AND
+    # the operator carries tv tables, the whole Chebyshev recurrence runs in
+    # T space — (2 deg - 1) per-apply transposes collapse into the 2-3
+    # boundary transposes of the smoother call (host-permuted at create, so
+    # no standalone device transpose program needs compiling)
+    inv_diag_t: jax.Array | None = None
 
     @property
     def a_vmult(self):
@@ -367,45 +373,63 @@ class ChebyshevSmoother:
         min_eigenvalue = max_eigenvalue / smoothing_range
         theta = 0.5 * (max_eigenvalue + min_eigenvalue)
         delta = 0.5 * (max_eigenvalue - min_eigenvalue)
-        return cls(op, inv_diag, degree, float(theta), float(delta))
+        inv_diag_t = None
+        if getattr(op, "tv", None) is not None:
+            from ..ops.hybrid import tv_permute_host
+
+            host = np.asarray(inv_diag)
+            inv_diag_t = jnp.asarray(tv_permute_host(op, host), inv_diag.dtype)
+        return cls(op, inv_diag, degree, float(theta), float(delta), inv_diag_t)
+
+    def _tv(self):
+        """(vmult, to_t, from_t, inv_diag) — T-space when available."""
+        op = self.op
+        if self.inv_diag_t is not None and getattr(op, "tv", None) is not None:
+            return op._vmult_t_core, op._to_t, op._from_t, self.inv_diag_t
+        ident = lambda v: v
+        return op.vmult, ident, ident, self.inv_diag
 
     def step(self, x: jax.Array, b: jax.Array) -> jax.Array:
         """Chebyshev iteration from initial guess x (three-term recurrence)."""
+        vmult, to_t, from_t, inv_diag = self._tv()
         theta = jnp.asarray(self.theta, b.dtype)
         delta = jnp.asarray(self.delta, b.dtype)
         sigma = theta / delta
-        r = b - self.op.vmult(x)
-        d = (self.inv_diag * r) / theta
+        x, b = to_t(x), to_t(b)
+        r = b - vmult(x)
+        d = (inv_diag * r) / theta
         x = x + d
         rho_old = 1.0 / sigma
         for _ in range(self.degree - 1):
-            r = b - self.op.vmult(x)
+            r = b - vmult(x)
             rho = 1.0 / (2.0 * sigma - rho_old)
-            d = (rho * rho_old) * d + (2.0 * rho / delta) * (self.inv_diag * r)
+            d = (rho * rho_old) * d + (2.0 * rho / delta) * (inv_diag * r)
             x = x + d
             rho_old = rho
-        return x
+        return from_t(x)
 
     def vmult(self, b: jax.Array) -> jax.Array:
         """Apply as a preconditioner (zero initial guess); saves the first
         operator application since r0 = b."""
+        vmult, to_t, from_t, inv_diag = self._tv()
         theta = jnp.asarray(self.theta, b.dtype)
         delta = jnp.asarray(self.delta, b.dtype)
         sigma = theta / delta
-        d = (self.inv_diag * b) / theta
+        b = to_t(b)
+        d = (inv_diag * b) / theta
         x = d
         rho_old = 1.0 / sigma
         for _ in range(self.degree - 1):
-            r = b - self.op.vmult(x)
+            r = b - vmult(x)
             rho = 1.0 / (2.0 * sigma - rho_old)
-            d = (rho * rho_old) * d + (2.0 * rho / delta) * (self.inv_diag * r)
+            d = (rho * rho_old) * d + (2.0 * rho / delta) * (inv_diag * r)
             x = x + d
             rho_old = rho
-        return x
+        return from_t(x)
 
 
 jax.tree_util.register_dataclass(
     ChebyshevSmoother,
-    data_fields=["op", "inv_diag"],
+    data_fields=["op", "inv_diag", "inv_diag_t"],
     meta_fields=["degree", "theta", "delta"],
 )
