@@ -1177,11 +1177,33 @@ class HybridOperator:
     # ONE transpose in, ONE out; every stage runs on self.tv's permuted
     # tables with patches on the (dense) lane dimension — no (8,128)-padded
     # lattice materialisation anywhere.
+    def _t_eye(self, dtype) -> jax.Array | None:
+        """One-hot [NP, NP] transpose matrix (tv["eye"], present only under
+        MGTPU_TGEMM).  The boundary transposes then ride the MXU as exact
+        one-hot GEMMs (every output element is a single 1.0*x product)
+        instead of XLA's native transpose, which pays ~5x the HBM floor on
+        the odd [NP, S^3] shape.  f32 only — a f64 one-hot GEMM would be
+        slower than the transpose it replaces."""
+        tv = self.tv
+        eye = tv.get("eye") if tv is not None else None
+        if eye is not None and dtype == eye.dtype:
+            return eye
+        return None
+
     def _to_t(self, x: jax.Array) -> jax.Array:
         ps = self.patch_slots
         if not ps:
             return x
-        pt = x[:ps].reshape(self.NP, -1).T.reshape(-1)
+        eye = self._t_eye(x.dtype)
+        if eye is not None:
+            # [NP, S3] -(contract NP against one-hot)-> [S3, NP]
+            pt = jax.lax.dot_general(
+                x[:ps].reshape(self.NP, -1), eye,
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                precision=HIGHEST,
+            ).reshape(-1)
+        else:
+            pt = x[:ps].reshape(self.NP, -1).T.reshape(-1)
         if x.shape[0] == ps:
             return pt
         return jnp.concatenate([pt, x[ps:]])
@@ -1190,7 +1212,16 @@ class HybridOperator:
         ps = self.patch_slots
         if not ps:
             return xt
-        pt = xt[:ps].reshape(-1, self.NP).T.reshape(-1)
+        eye = self._t_eye(xt.dtype)
+        if eye is not None:
+            # [S3, NP] -(contract NP against one-hot)-> [NP, S3]
+            pt = jax.lax.dot_general(
+                eye, xt[:ps].reshape(-1, self.NP),
+                dimension_numbers=(((0,), (1,)), ((), ())),
+                precision=HIGHEST,
+            ).reshape(-1)
+        else:
+            pt = xt[:ps].reshape(-1, self.NP).T.reshape(-1)
         if xt.shape[0] == ps:
             return pt
         return jnp.concatenate([pt, xt[ps:]])
@@ -2073,6 +2104,12 @@ def make_hybrid_operator(
                 None if t is None else (pid(t[0]), pid(t[1])) for t in sf_single_np
             ),
         }
+        if fmt.n_patches and variant_flag(
+            "MGTPU_TGEMM", np=fmt.n_patches, ns=fmt.n_singles
+        ):
+            # one-hot transpose GEMM operand (see _t_eye); f32 regardless of
+            # the operator dtype — the GEMM path only engages on f32 vectors
+            tv["eye"] = to_device(np.eye(fmt.n_patches), jnp.float32)
 
     return HybridOperator(
         KS=to_device(KS, dtype),

@@ -44,6 +44,12 @@ DEFAULT_POLICY: dict[str, str] = {
     # 6.5 vs 5.1 at L6 (NP=64, lanes half-empty + transpose overhead) —
     # lane-dense pays when the patch count fills the 128 lanes
     "MGTPU_TV": "np>=256",
+    # one-hot-GEMM boundary transposes for tv mode (to_t/from_t as exact
+    # [NP, NP] one-hot GEMMs on the MXU): measured OFF — at the production
+    # shape (L7, NP=512, S=33) to_t[gemm] 2.32 ms vs 1.85 ms XLA transpose,
+    # full vmult 18.4 vs 17.5 (profile_tv 2026-08-18); only wins at NP=64
+    # where tv mode itself is off
+    "MGTPU_TGEMM": "",
 }
 
 

@@ -107,6 +107,25 @@ def main():
     t, cs = timeit_looped(lambda m, v: m.vmult(v), precond, x, n_loop=2)
     print(f"V-cycle       {t*1e3:9.3f} ms (compile {cs:.0f}s)", flush=True)
 
+    # one full outer PCG iteration (A apply + V-cycle + dots/axpys) — the
+    # unit the bench pays per iteration; closes the attribution gap between
+    # the V-cycle row and bench solve_time/n_iterations
+    def cg_step(o, v):
+        fop, pre = o
+        r, p = v, v
+        rz = jnp.sum(r * r)
+        ap = fop.vmult(p)
+        alpha = (rz / jnp.sum(p * ap)).astype(v.dtype)
+        xn = alpha * p
+        r = r - alpha * ap
+        z = pre.vmult(r)
+        rz2 = jnp.sum(r * z)
+        beta = (rz2 / rz).astype(v.dtype)
+        return xn + z + beta * p + jnp.sqrt(rz2) * 1e-30
+
+    t, cs = timeit_looped(cg_step, (fine.op, precond), x, n_loop=2)
+    print(f"PCG step f32  {t*1e3:9.3f} ms (compile {cs:.0f}s)", flush=True)
+
 
 if __name__ == "__main__":
     main()

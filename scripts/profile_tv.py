@@ -15,6 +15,7 @@ import sys
 import time
 
 os.environ.setdefault("MGTPU_TV", "1")
+os.environ.setdefault("MGTPU_TGEMM", "1")  # stage eye; both paths timed
 
 if os.environ.get("MGTPU_PLATFORM"):  # CPU smoke-testing
     import jax as _jax_platform_shim
@@ -91,23 +92,32 @@ def main():
             use_texchange=False,
         )
         all_t = dataclasses.replace(op, tv=None)
-        variants = [("base+rounds", base), ("all_t+rounds", all_t), ("tv", op)]
+        plain = dataclasses.replace(
+            op, tv={k: v for k, v in op.tv.items() if k != "eye"}
+        )
+        variants = [
+            ("base+rounds", base), ("all_t+rounds", all_t),
+            ("tv", plain), ("tv+tgemm", op),
+        ]
         for vname, vop in variants:
             t = timeit_looped(lambda o, v: o.vmult(v), vop, x)
             print(f"  vmult[{vname:12s}] {t*1e3:8.3f} ms", flush=True)
-        # tv stage decomposition
+        # tv stage decomposition (operator variant passed as the jit ARG —
+        # a closure capture would bake the volume tables as HLO constants)
         xt = op._to_t(x)
         stages = [
-            ("to_t", lambda o, v: o._to_t(v), x),
-            ("apply_c_t", lambda o, v: o._apply_c_t(v), xt),
-            ("stencil_t", lambda o, v: o._cell_apply_raw_t(v), xt),
-            ("ct_faces_t", lambda o, v: o._ct_faces_t(v), xt),
-            ("exchange_t", lambda o, v: o._exchange_t(v), xt),
-            ("apply_ct_t", lambda o, v: o._apply_ct_t(v), xt),
-            ("from_t", lambda o, v: o._from_t(v), xt),
+            ("to_t", lambda o, v: o._to_t(v), plain, x),
+            ("to_t[gemm]", lambda o, v: o._to_t(v), op, x),
+            ("from_t[gemm]", lambda o, v: o._from_t(v), op, xt),
+            ("apply_c_t", lambda o, v: o._apply_c_t(v), plain, xt),
+            ("stencil_t", lambda o, v: o._cell_apply_raw_t(v), plain, xt),
+            ("ct_faces_t", lambda o, v: o._ct_faces_t(v), plain, xt),
+            ("exchange_t", lambda o, v: o._exchange_t(v), plain, xt),
+            ("apply_ct_t", lambda o, v: o._apply_ct_t(v), plain, xt),
+            ("from_t", lambda o, v: o._from_t(v), plain, xt),
         ]
-        for name, f, arg in stages:
-            t = timeit_looped(f, op, arg)
+        for name, f, o_, arg in stages:
+            t = timeit_looped(f, o_, arg)
             print(f"  {name:14s} {t*1e3:8.3f} ms", flush=True)
         # exactness spot-check on-device.  MUST use a slot-CONSISTENT input
         # (all slots of a dof equal): apply_c's scatter-set relies on

@@ -141,6 +141,41 @@ def test_tv_vmult_matches_baseline(geom, r, p, expect_cross, monkeypatch):
         assert checked_cross, "no tv level exercised the cross-exchange path"
 
 
+def test_tgemm_boundary_transposes_exact(monkeypatch):
+    # MGTPU_TGEMM: the tv boundary transposes as one-hot [NP, NP] GEMMs.
+    # A one-hot product is a single 1.0*x per output element, so the GEMM
+    # path must be BIT-exact vs the XLA-transpose path (f32 vectors; the
+    # f64 build keeps eye staged but the f32-only gate skips it).
+    monkeypatch.setenv("MGTPU_TV", "1")
+    monkeypatch.setenv("MGTPU_TGEMM", "1")
+    levels = _levels("quadrant", 5, 3, jnp.float32)
+    rng = np.random.default_rng(7)
+    checked = False
+    for lv in levels:
+        op = lv.op
+        if op.tv is None or not op.NP:
+            continue
+        assert "eye" in op.tv
+        plain = dataclasses.replace(
+            op, tv={k: v for k, v in op.tv.items() if k != "eye"}
+        )
+        x = jnp.asarray(rng.standard_normal(op.n_slots), jnp.float32)
+        np.testing.assert_array_equal(
+            np.asarray(op._to_t(x)), np.asarray(plain._to_t(x))
+        )
+        xt = plain._to_t(x)
+        np.testing.assert_array_equal(
+            np.asarray(op._from_t(xt)), np.asarray(plain._from_t(xt))
+        )
+        # f64 input must fall back to the transpose path (no f32 eye GEMM)
+        x64 = x.astype(jnp.float64)
+        np.testing.assert_array_equal(
+            np.asarray(op._to_t(x64)), np.asarray(plain._to_t(x64))
+        )
+        checked = True
+    assert checked, "no tv level with patches built under MGTPU_TGEMM"
+
+
 def test_scatter_rounds_cover_all_levels():
     # the build-time dependency grouping must partition the sf level list
     levels = _levels("quadrant", 5, 3, jnp.float64)
