@@ -559,6 +559,50 @@ def build_level_hybrid(
     )
 
 
+def choose_level_ks(
+    plan: list[tuple[AdaptiveMesh, int]], target: int | None = None
+) -> list[int]:
+    """Per-level patch size K for a (mesh, degree) level plan.
+
+    Lane-density rule (RESULTS.md round-4): the tv pipeline only pays when
+    the patch count fills the 128 lanes, so each level halves K until it has
+    >= ``target`` patches.  Constraints: the hybrid transfer supports
+    K_coarse in {K_fine, K_fine/2} only (walk finest -> coarsest, candidates
+    limited to the next-finer level's choice), p-transfer levels share the
+    mesh and therefore the choice (the patch scan depends on the mesh only),
+    and K floors at 2 (K=1 is the singleton-only layout).  target=0/None
+    keeps the uniform default K=8."""
+    if target is None:
+        from .utils.flags import kadapt_target
+
+        target = kadapt_target()
+    n = len(plan)
+    ks = [8] * n
+    if not target:
+        return ks
+    memo: dict = {}
+
+    def npatches(mesh, K):
+        key = (id(mesh), K)
+        if key not in memo:
+            memo[key] = len(_hy._find_patches(mesh, K)[0])
+        return memo[key]
+
+    prev = None
+    for li in range(n - 1, -1, -1):
+        mesh = plan[li][0]
+        cands = [8, 4, 2] if prev is None else [prev, prev // 2]
+        cands = [k for k in cands if k >= 2]
+        pick = cands[0]
+        for k in cands:
+            if npatches(mesh, k) >= target:
+                pick = k
+                break
+        ks[li] = pick
+        prev = pick
+    return ks
+
+
 def _hybrid_coarse_solver(kind: str, level: HybridLevel, mg_data, dtype):
     from .solvers.coarse import make_algebraic_solver, make_cg_coarse_solver
 
@@ -695,8 +739,10 @@ def solve_with_global_coarsening_hybrid(
             plan, level_dtype, dmesh, n_shards, params.effective_policy_name()
         )
     else:
+        level_ks = choose_level_ks(plan)
         levels = [
-            build_level_hybrid(mesh, degree, level_dtype) for mesh, degree in plan
+            build_level_hybrid(mesh, degree, level_dtype, K=k)
+            for (mesh, degree), k in zip(plan, level_ks)
         ]
     fine = levels[-1]
 
@@ -932,17 +978,18 @@ def solve_with_local_smoothing_hybrid(
 
     n_shards = params.n_shards if params.n_shards != 0 else len(jax.devices())
     dmesh = None
+    fine_k = choose_level_ks([(fine_mesh, p)])[0]
     if n_shards > 1:
         from .parallel import sharding as SH
 
         dmesh = SH.make_device_mesh(n_shards)
         fine = build_level_hybrid(
-            fine_mesh, p, level_dtype,
+            fine_mesh, p, level_dtype, K=fine_k,
             n_shards=SH.hybrid_level_shard_count(fine_mesh.n_cells, n_shards),
         )
         fine = SH.place_hybrid_level(fine, dmesh)
     else:
-        fine = build_level_hybrid(fine_mesh, p, level_dtype)
+        fine = build_level_hybrid(fine_mesh, p, level_dtype, K=fine_k)
     df32 = params.number_type == "df32"
     if params.number_type == "mixed":
         outer_op = MixedPrecisionOperator(
@@ -1030,7 +1077,7 @@ def solve_with_local_smoothing_hybrid(
                 if d == p
                 else SH.place_hybrid_level(
                     build_level_hybrid(
-                        fine_mesh, d, level_dtype,
+                        fine_mesh, d, level_dtype, K=fine_k,
                         n_shards=SH.hybrid_level_shard_count(
                             fine_mesh.n_cells, n_shards
                         ),
@@ -1041,7 +1088,9 @@ def solve_with_local_smoothing_hybrid(
             ]
         else:
             plevels = [
-                fine if d == p else build_level_hybrid(fine_mesh, d, level_dtype)
+                fine
+                if d == p
+                else build_level_hybrid(fine_mesh, d, level_dtype, K=fine_k)
                 for d in degrees
             ]
         lsmg, ls_partitions = build_local_smoothing_mg_hybrid(

@@ -59,6 +59,9 @@ class HybridTransfer:
     patch_buckets: tuple           # ((fidx, cidx, child_rows [NC_c]), ...)
     patch_offsets: tuple           # ((ox, oy, oz), ...) static
     id_bucket: tuple | None        # (fidx, cidx) whole-patch copy
+    # identity across K (coarse K = fine K/2): per octant a dense row-routed
+    # window copy — (src_rows [NP_f], fine_rows [NP_c], hot [NP_c, NP_f]|None)
+    id_oct: tuple                  # octant buckets (may be empty)
     irr_patch: tuple | None        # (fidx, sub_slots [n, sub^3])
     irr_id: tuple | None           # (fidx, slots [n, S_f^3]) copy via slot table
     single_buckets: tuple          # ((sidx, src_slots [n, nloc_c], M), ...)
@@ -82,6 +85,7 @@ class HybridTransfer:
     # ONE leading-axis interpolation chain on [*, NP_f]-lane arrays instead
     # of per-bucket ops on the 10.6x-tile-padded [n, sub, sub, sub] views
     patch_hot: tuple = ()
+    id_oct_offsets: tuple = ()     # static (dx, dy, dz) per id_oct bucket
     use_ttransfer: bool = False
     # local-smoothing mode (MGTransferMatrixFree semantics,
     # multigrid_throughput.cc:1800-1802): level meshes are conforming and
@@ -133,19 +137,39 @@ class HybridTransfer:
         S_c, S_f, sub = self.S_c, self.S_f, self.sub
         uc2 = cop._patches2d(uc)
         out2 = jnp.zeros((self.NP_f, S_f**3), dtype)
-        if cop.NP and self.patch_buckets:
+        if cop.NP and (self.patch_buckets or self.id_oct):
             uct = uc2.T.reshape(S_c, S_c, S_c, cop.NP)
-            acc = None
-            for ((_f, _c, _ch), (ox, oy, oz), H) in zip(
-                self.patch_buckets, self.patch_offsets, self.patch_hot
-            ):
-                w = uct[ox : ox + sub, oy : oy + sub, oz : oz + sub, :]
-                term = jnp.tensordot(
-                    w, H.astype(dtype), axes=([3], [0]), precision=HIGHEST
-                )
-                acc = term if acc is None else acc + term
-            v = self._interp_lead(acc)
-            out2 = v.reshape(S_f**3, self.NP_f).T
+            vt = None
+            if self.patch_buckets:
+                acc = None
+                for ((_f, _c, _ch), (ox, oy, oz), H) in zip(
+                    self.patch_buckets, self.patch_offsets, self.patch_hot
+                ):
+                    w = uct[ox : ox + sub, oy : oy + sub, oz : oz + sub, :]
+                    term = jnp.tensordot(
+                        w, H.astype(dtype), axes=([3], [0]), precision=HIGHEST
+                    )
+                    acc = term if acc is None else acc + term
+                vt = self._interp_lead(acc)
+            if self.id_oct:
+                if vt is None:
+                    vt = jnp.zeros((S_f, S_f, S_f, self.NP_f), dtype)
+                for (_sr, _fr, H), (dx, dy, dz) in zip(
+                    self.id_oct, self.id_oct_offsets
+                ):
+                    w = uct[dx:, dy:, dz:, :]
+                    vt = vt.at[
+                        dx * S_c : dx * S_c + S_c - dx,
+                        dy * S_c : dy * S_c + S_c - dy,
+                        dz * S_c : dz * S_c + S_c - dz,
+                        :,
+                    ].add(
+                        jnp.tensordot(
+                            w, H.astype(dtype), axes=([3], [0]),
+                            precision=HIGHEST,
+                        )
+                    )
+            out2 = vt.reshape(S_f**3, self.NP_f).T
         if self.id_bucket is not None:
             fidx, cidx = self.id_bucket
             out2 = out2.at[fidx].set(uc2[cidx])
@@ -185,6 +209,20 @@ class HybridTransfer:
                 if self.id_bucket is not None:
                     fidx, cidx = self.id_bucket
                     out_p = out_p.at[fidx].set(up_c[cidx])
+                if self.id_oct:
+                    up_pad = jnp.concatenate(
+                        [up_c, jnp.zeros((1,) + up_c.shape[1:], dtype)], axis=0
+                    )
+                    for (src_rows, _fr, _h), (dx, dy, dz) in zip(
+                        self.id_oct, self.id_oct_offsets
+                    ):
+                        g = up_pad[src_rows]
+                        out_p = out_p.at[
+                            :,
+                            dx * S_c : dx * S_c + S_c - dx,
+                            dy * S_c : dy * S_c + S_c - dy,
+                            dz * S_c : dz * S_c + S_c - dz,
+                        ].add(g[:, dx:, dy:, dz:])
             if self.irr_patch is not None:
                 fidx, sub_slots = self.irr_patch
                 sv = uc[sub_slots].reshape(-1, sub, sub, sub)
@@ -221,19 +259,33 @@ class HybridTransfer:
         rp2 = self._fine_patches2d(rf)
         acc = jnp.zeros(self.n_slots_c, dtype)
         acc2 = jnp.zeros((cop.NP, S_c**3), dtype) if cop.NP else None
-        if cop.NP and self.patch_buckets:
+        if cop.NP and (self.patch_buckets or self.id_oct):
             rt = rp2.T.reshape(S_f, S_f, S_f, self.NP_f)
-            v = self._interp_lead_t(rt)  # [sub, sub, sub, NP_f]
             acc_t = jnp.zeros((S_c, S_c, S_c, cop.NP), dtype)
-            for ((_f, _c, _ch), (ox, oy, oz), H) in zip(
-                self.patch_buckets, self.patch_offsets, self.patch_hot
+            if self.patch_buckets:
+                v = self._interp_lead_t(rt)  # [sub, sub, sub, NP_f]
+                for ((_f, _c, _ch), (ox, oy, oz), H) in zip(
+                    self.patch_buckets, self.patch_offsets, self.patch_hot
+                ):
+                    g = jnp.tensordot(
+                        v, H.astype(dtype), axes=([3], [1]), precision=HIGHEST
+                    )
+                    acc_t = acc_t.at[
+                        ox : ox + sub, oy : oy + sub, oz : oz + sub, :
+                    ].add(g)
+            for (_sr, _fr, H), (dx, dy, dz) in zip(
+                self.id_oct, self.id_oct_offsets
             ):
+                w = rt[
+                    dx * S_c : dx * S_c + S_c - dx,
+                    dy * S_c : dy * S_c + S_c - dy,
+                    dz * S_c : dz * S_c + S_c - dz,
+                    :,
+                ]
                 g = jnp.tensordot(
-                    v, H.astype(dtype), axes=([3], [1]), precision=HIGHEST
+                    w, H.astype(dtype), axes=([3], [1]), precision=HIGHEST
                 )
-                acc_t = acc_t.at[
-                    ox : ox + sub, oy : oy + sub, oz : oz + sub, :
-                ].add(g)
+                acc_t = acc_t.at[dx:, dy:, dz:, :].add(g)
             acc2 = acc_t.reshape(S_c**3, cop.NP).T
         if acc2 is not None and self.id_bucket is not None:
             fidx, cidx = self.id_bucket
@@ -286,6 +338,21 @@ class HybridTransfer:
                 if self.id_bucket is not None:
                     fidx, cidx = self.id_bucket
                     acc_p = acc_p.at[cidx].add(rp[fidx])
+                if self.id_oct:
+                    for (_sr, fine_rows, _h), (dx, dy, dz) in zip(
+                        self.id_oct, self.id_oct_offsets
+                    ):
+                        win = rp[
+                            :,
+                            dx * S_c : dx * S_c + S_c - dx,
+                            dy * S_c : dy * S_c + S_c - dy,
+                            dz * S_c : dz * S_c + S_c - dz,
+                        ]
+                        wpad = jnp.concatenate(
+                            [win, jnp.zeros((1,) + win.shape[1:], dtype)],
+                            axis=0,
+                        )
+                        acc_p = acc_p.at[:, dx:, dy:, dz:].add(wpad[fine_rows])
                 acc = cop._with_patches(acc, acc_p)
             if self.irr_patch is not None:
                 fidx, sub_slots = self.irr_patch
@@ -325,10 +392,10 @@ jax.tree_util.register_dataclass(
     HybridTransfer,
     data_fields=[
         "coarse_op", "fine_constrained_keep", "fine_owner", "E1",
-        "patch_buckets", "id_bucket", "irr_patch", "irr_id", "single_buckets",
-        "single_fast", "patch_hot",
+        "patch_buckets", "id_bucket", "id_oct", "irr_patch", "irr_id",
+        "single_buckets", "single_fast", "patch_hot",
     ],
-    meta_fields=["patch_offsets", "S_f", "S_c", "sub", "NP_f", "NS_f", "nloc_f", "n_slots_f", "n_slots_c", "D_f", "ls_mode", "use_ttransfer"],
+    meta_fields=["patch_offsets", "id_oct_offsets", "S_f", "S_c", "sub", "NP_f", "NS_f", "nloc_f", "n_slots_f", "n_slots_c", "D_f", "ls_mode", "use_ttransfer"],
 )
 
 
@@ -415,6 +482,25 @@ def make_hybrid_transfer(
                     int(coarse_fmt.patch_block[i, 2]),
                 )
             ] = i
+    # half-K coarse decomposition (adaptive per-level patch granularity,
+    # K_coarse = K_fine/2): a fine K-patch's one-level-coarser region is
+    # exactly ONE whole half-K coarse patch (the parent case rides the
+    # existing sub-window machinery with off=(0,0,0), sub == S_c), and its
+    # same-level region is exactly EIGHT half-K coarse patches (octants —
+    # the id_oct buckets below)
+    cp_key_h = {}
+    if K > 1 and coarse_fmt.K == K // 2:
+        for i in range(coarse_fmt.n_patches):
+            if int(coarse_fmt.patch_level[i]) < 0:  # padding dummy
+                continue
+            cp_key_h[
+                (
+                    int(coarse_fmt.patch_level[i]),
+                    int(coarse_fmt.patch_block[i, 0]),
+                    int(coarse_fmt.patch_block[i, 1]),
+                    int(coarse_fmt.patch_block[i, 2]),
+                )
+            ] = i
 
     # coarse active-cell lookup
     cindex = {}
@@ -435,6 +521,7 @@ def make_hybrid_transfer(
 
     patch_buckets = []
     id_pairs = ([], [])
+    id_oct_groups = {o: ([], []) for o in range(8)}
     irr_f, irr_slots_list = [], []
     irr_id_f, irr_id_slots = [], []
 
@@ -470,6 +557,7 @@ def make_hybrid_transfer(
             E1 = np.ones((fine_fmt.S, 1))
         # --- fine patches ---
         oct_groups = {o: ([], []) for o in range(8)}
+        half_parent: tuple[list, list] = ([], [])
         for i in range(fine_fmt.n_patches):
             lvl = int(fine_fmt.patch_level[i])
             if lvl < 0:  # padding dummy
@@ -481,6 +569,33 @@ def make_hybrid_transfer(
                 id_pairs[0].append(i)
                 id_pairs[1].append(j)
                 continue
+            # identity across K: the fine patch's region = 8 half-K coarse
+            # patches (one per octant), values copy without interpolation
+            if cp_key_h:
+                subs_j = [
+                    cp_key_h.get(
+                        (
+                            lvl,
+                            int(2 * blk[0] + (o & 1)),
+                            int(2 * blk[1] + ((o >> 1) & 1)),
+                            int(2 * blk[2] + ((o >> 2) & 1)),
+                        )
+                    )
+                    for o in range(8)
+                ]
+                if all(sj is not None for sj in subs_j):
+                    for o, sj in enumerate(subs_j):
+                        id_oct_groups[o][0].append(i)
+                        id_oct_groups[o][1].append(sj)
+                    continue
+                # parent across K: one whole half-K coarse patch at lvl-1
+                jp_h = cp_key_h.get(
+                    (lvl - 1, int(blk[0]), int(blk[1]), int(blk[2]))
+                )
+                if jp_h is not None:
+                    half_parent[0].append(i)
+                    half_parent[1].append(jp_h)
+                    continue
             # identity cells present in coarse but not patch-covered there
             ident_cells = find_cell(lvl, mf.anchor[fine_fmt.patch_cells[i]])
             if (ident_cells >= 0).all():
@@ -511,6 +626,17 @@ def make_hybrid_transfer(
                 patch_buckets.append(
                     (np.asarray(fi, np.int64), np.asarray(ci, np.int64), off)
                 )
+        if half_parent[0]:
+            # K_c = K/2 parent: the coarse patch IS the fine patch's whole
+            # one-level-coarser region — off (0,0,0), window = full coarse
+            # patch (sub == S_c), same E1 interpolation
+            patch_buckets.append(
+                (
+                    np.asarray(half_parent[0], np.int64),
+                    np.asarray(half_parent[1], np.int64),
+                    (0, 0, 0),
+                )
+            )
         # --- fine singles: identity cell or parent cell ---
         if fine_fmt.n_singles:
             real_sel = np.nonzero(fine_fmt.single_cells >= 0)[0]
@@ -569,6 +695,43 @@ def make_hybrid_transfer(
             to_device(np.stack(irr_slots_list), jnp.int32),
         )
 
+    # identity-across-K octant buckets.  Both directions are dense
+    # whole-bucket window updates: a [NP_f]-row (src_rows) / [NP_c]-row
+    # (fine_rows) gather with a zero pad row replaces any element-priced
+    # volume scatter.  Octant windows are TRIMMED on their low-side shared
+    # plane (delta=1 skips plane 0) so every fine slot has exactly one
+    # writer in prolong, and restrict routes each masked fine contribution
+    # to exactly one coarse copy (the coarse exchange completes the sums).
+    id_oct = []
+    id_oct_offsets = []
+    hot_ok = coarse_fmt.n_patches * fine_fmt.n_patches <= 4_000_000
+    for o in range(8):
+        fi, ci = id_oct_groups[o]
+        if not fi:
+            continue
+        f_arr = np.asarray(fi, np.int64)
+        c_arr = np.asarray(ci, np.int64)
+        src_rows = np.full(fine_fmt.n_patches, coarse_fmt.n_patches, np.int64)
+        src_rows[f_arr] = c_arr
+        fine_rows = np.full(coarse_fmt.n_patches, fine_fmt.n_patches, np.int64)
+        assert len(np.unique(c_arr)) == len(c_arr), "coarse patch in 2 octants"
+        fine_rows[c_arr] = f_arr
+        hot = None
+        if hot_ok:
+            H = np.zeros(
+                (coarse_fmt.n_patches, fine_fmt.n_patches), np.float32
+            )
+            H[c_arr, f_arr] = 1.0
+            hot = to_device(H, dtype)
+        id_oct.append(
+            (
+                to_device(src_rows, jnp.int32),
+                to_device(fine_rows, jnp.int32),
+                hot,
+            )
+        )
+        id_oct_offsets.append((o & 1, (o >> 1) & 1, (o >> 2) & 1))
+
     def child_rows_of(f, c):
         # one fine child per (coarse patch, octant): restrict's window update
         # inverts the map into a block-row gather (see HybridTransfer.restrict)
@@ -597,6 +760,8 @@ def make_hybrid_transfer(
         np=fine_fmt.n_patches,
         nc=coarse_fmt.n_patches,
     )
+    if id_oct and not hot_ok:
+        use_ttransfer = False  # t-path needs the one-hot routing matrices
 
     return HybridTransfer(
         coarse_op=coarse_op,
@@ -613,6 +778,8 @@ def make_hybrid_transfer(
         ),
         patch_offsets=tuple(tuple(int(x) for x in off) for f, c, off in patch_buckets),
         id_bucket=id_bucket,
+        id_oct=tuple(id_oct),
+        id_oct_offsets=tuple(id_oct_offsets),
         irr_patch=irr_patch,
         irr_id=irr_id,
         single_buckets=tuple(

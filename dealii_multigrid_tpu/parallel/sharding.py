@@ -266,6 +266,7 @@ def build_sharded_hybrid_levels(
 
     levels = []
     applied = []
+    level_ks = api.choose_level_ks(plan)
     for li, (mesh0, degree) in enumerate(plan):
         cell_shard = None
         if parts is not None and mesh0.n_cells >= n_devices:
@@ -279,7 +280,8 @@ def build_sharded_hybrid_levels(
         else:
             D = hybrid_level_shard_count(mesh0.n_cells, n_devices)
         lv = api.build_level_hybrid(
-            mesh0, degree, level_dtype, n_shards=D, cell_shard=cell_shard
+            mesh0, degree, level_dtype, K=level_ks[li],
+            n_shards=D, cell_shard=cell_shard,
         )
         levels.append(place_hybrid_level(lv, dmesh))
         # record the partition ACTUALLY applied: the default index-block

@@ -410,8 +410,12 @@ def build_local_smoothing_mg_hybrid(
     levels = []
     host_fmts, host_dofhs = [], []
     rng = np.random.default_rng(42)
+    level_meshes = [level_mesh(active, l) for l in range(lmin, L + 1)]
+    from ..api import choose_level_ks
+
+    level_ks = choose_level_ks([(lm, p) for lm in level_meshes])
     for l in range(lmin, L + 1):
-        lm = level_mesh(active, l)
+        lm = level_meshes[l - lmin]
         dofh = distribute_dofs(lm, p)
         valence = np.bincount(dofh.cell_dofs.reshape(-1), minlength=dofh.n_dofs)
         expected = _expected_valence(dofh)
@@ -419,7 +423,7 @@ def build_local_smoothing_mg_hybrid(
         # identity rows of the level operator = boundary ∪ edge
         # (operator.h:152-183); fold the edge set into the Dirichlet mask
         dofh.boundary_mask = dofh.boundary_mask | edge
-        fmt = build_hybrid_format(dofh, K=8)
+        fmt = build_hybrid_format(dofh, K=level_ks[l - lmin])
         if n_shards > 1:
             from ..parallel.sharding import hybrid_level_shard_count
 

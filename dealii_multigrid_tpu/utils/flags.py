@@ -50,7 +50,34 @@ DEFAULT_POLICY: dict[str, str] = {
     # full vmult 18.4 vs 17.5 (profile_tv 2026-08-18); only wins at NP=64
     # where tv mode itself is off
     "MGTPU_TGEMM": "",
+    # adaptive per-level patch granularity: halve K on coarser levels until
+    # the level has >= this many patches, so the lane-dense tv pipeline
+    # engages below the finest level (api.choose_level_ks; the transfer
+    # supports K_coarse in {K_fine, K_fine/2}).  Value = target NP, "0" off.
+    "MGTPU_KADAPT": "0",
 }
+
+
+def kadapt_target() -> int:
+    """Lane-density patch-count target for adaptive per-level K (0 = off).
+
+    MGTPU_KADAPT env overrides everywhere (tests force it on the CPU
+    backend); unset falls back to DEFAULT_POLICY on non-CPU platforms only,
+    like the lane-dense variant flags (the CPU backend has no (8, 128) tile
+    to fill, and the adaptive layouts would only slow its test suite)."""
+    val = os.environ.get("MGTPU_KADAPT")
+    if val is None:
+        import jax
+
+        try:
+            plats = jax.config.jax_platforms or ""
+        except Exception:  # pragma: no cover - config field unavailable
+            plats = ""
+        if plats.startswith("cpu"):
+            return 0
+        val = DEFAULT_POLICY.get("MGTPU_KADAPT", "0")
+    val = val.strip()
+    return int(val) if val else 0
 
 
 def variant_flag(env_name: str, **dims) -> bool:

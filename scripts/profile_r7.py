@@ -71,7 +71,12 @@ def main():
     mesh = generators.create("quadrant", 3, r, 0)
     tri_seq = geometric_coarsening_sequence(mesh)
     plan = api.gc_level_plan("HMG-global", tri_seq, p)
-    levels = [api.build_level_hybrid(m, d, jnp.float32) for m, d in plan]
+    ks = api.choose_level_ks(plan)  # honors MGTPU_KADAPT
+    levels = [
+        api.build_level_hybrid(m, d, jnp.float32, K=k)
+        for (m, d), k in zip(plan, ks)
+    ]
+    print(f"level Ks: {ks}", flush=True)
     fine = levels[-1]
     print(f"setup {time.time()-t0:.1f}s  levels={len(levels)} "
           f"n_dofs={fine.dofh.n_dofs} n_slots={fine.op.n_slots}", flush=True)

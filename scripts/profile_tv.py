@@ -70,10 +70,11 @@ def main():
     mesh = generators.create("quadrant", 3, r, 0)
     tri_seq = geometric_coarsening_sequence(mesh)
     plan = api.gc_level_plan("HMG-global", tri_seq, p)
+    ks = api.choose_level_ks(plan)  # honors MGTPU_KADAPT
     levels = {}
     for li in (len(plan) - 1, len(plan) - 2):
         m, d = plan[li]
-        levels[li] = api.build_level_hybrid(m, d, jnp.float32)
+        levels[li] = api.build_level_hybrid(m, d, jnp.float32, K=ks[li])
     print(f"setup {time.time()-t0:.1f}s", flush=True)
 
     rng = np.random.default_rng(0)

@@ -134,3 +134,80 @@ def test_sanitizer_format_verification(monkeypatch):
         H.verify_format(bad)
     monkeypatch.setenv("MGTPU_DEBUG", "0")
     assert not H.sanitizer_enabled()
+
+
+def _build_k(mesh, p, K):
+    dofh = D.distribute_dofs(mesh, p)
+    hang = D.make_hanging_node_constraints(dofh)
+    fmt = H.build_hybrid_format(dofh, K=K)
+    hop = H.make_hybrid_operator(fmt, hang, dtype=jnp.float64)
+    return dofh, hang, fmt, hop
+
+
+@pytest.mark.parametrize("variants", [False, True])
+def test_hybrid_transfer_cross_k_matches_global(variants, monkeypatch):
+    """Adaptive per-level patch granularity: h-transfer with K_coarse =
+    K_fine/2 (the id_oct octant-identity + whole-patch-parent buckets) must
+    reproduce the global gather-engine transfer exactly, in both the plain
+    and the transposed/tv engine paths."""
+    if variants:
+        monkeypatch.setenv("MGTPU_TTRANSFER", "1")
+        monkeypatch.setenv("MGTPU_TV", "1")
+        monkeypatch.setenv("MGTPU_TSTENCIL", "1")
+        monkeypatch.setenv("MGTPU_ROW_SINGLE", "1")
+        monkeypatch.setenv("MGTPU_TEXCHANGE", "1")
+    # one octant refined on a uniform cube: 7 level-3 4^3 blocks stay
+    # IDENTITY under coarsening (id_oct octants) and the refined corner's 8
+    # level-4 blocks take the whole-coarse-patch parent path
+    m = G.create_quadrant_flexible(3, 3, 1)
+    seq = geometric_coarsening_sequence(m)
+    fine_m, coarse_m, p = seq[-1], seq[-2], 2
+    fdofh, fhang, ffmt, fhop = _build_k(fine_m, p, 4)
+    cdofh, chang, cfmt, chop = _build_k(coarse_m, p, 2)
+    assert ffmt.K == 4 and cfmt.K == 2
+    fgop = OP.make_operator(fdofh, fhang, dtype=jnp.float64)
+    cgop = OP.make_operator(cdofh, chang, dtype=jnp.float64)
+    gt = T.make_two_level_transfer(fdofh, cdofh, fgop, cgop, dtype=jnp.float64)
+    ht = HT.make_hybrid_transfer(ffmt, cfmt, fhop, chop, dtype=jnp.float64)
+    # the cross-K buckets must actually engage (not the irregular fallback)
+    assert ht.id_oct, "expected id_oct octant buckets"
+    assert ht.patch_buckets, "expected half-K parent bucket"
+    assert ht.irr_id is None and ht.irr_patch is None
+    rng = np.random.default_rng(3)
+    uc = rng.normal(size=cdofh.n_dofs)
+    pg = np.asarray(jax.jit(gt.prolong)(jnp.asarray(uc)))
+    ph = np.asarray(jax.jit(ht.prolong)(jnp.asarray(cfmt.from_global(uc))))
+    assert np.abs(ph - pg[ffmt.slot_dof]).max() < 1e-10
+    rf = rng.normal(size=fdofh.n_dofs)
+    rg = np.asarray(jax.jit(gt.restrict)(jnp.asarray(rf)))
+    rh = np.asarray(jax.jit(ht.restrict)(jnp.asarray(ffmt.from_global(rf))))
+    assert np.abs(rh - rg[cfmt.slot_dof]).max() < 1e-9 * max(np.abs(rg).max(), 1)
+
+
+def test_kadapt_solve_matches_uniform_k(monkeypatch):
+    """MGTPU_KADAPT end-to-end: the adaptive-K solve must converge to the
+    same solution with the same iteration count as the uniform-K=8 solve."""
+    prm = RunParameters()
+    prm.type = "HMG-global"
+    prm.geometry_type = "quadrant"
+    prm.n_ref_global = 4
+    prm.fe_degree_fine = 2
+    prm.number_type = "double"
+    prm.mg_number_type = "double"
+    prm.mg_data.coarse_solver.type = "amg"
+    prm.mg_data.smoother.degree = 3
+    prm.mg_data.n_repetitions = 1
+    mesh = G.create("quadrant", 3, 4)
+    res_u, _, _ = api.solve_with_global_coarsening_hybrid(prm, mesh)
+    monkeypatch.setenv("MGTPU_KADAPT", "8")  # tiny target: triggers halving
+    from dealii_multigrid_tpu.api import choose_level_ks, gc_level_plan
+    from dealii_multigrid_tpu.mesh.coarsening import (
+        geometric_coarsening_sequence as gcs,
+    )
+    ks = choose_level_ks(gc_level_plan("HMG-global", gcs(mesh), 2))
+    assert any(k < 8 for k in ks), f"adaptive K never halved: {ks}"
+    res_a, _, _ = api.solve_with_global_coarsening_hybrid(prm, mesh)
+    assert res_a.converged and res_u.converged
+    assert res_a.n_iterations == res_u.n_iterations
+    dx = np.abs(np.asarray(res_a.x) - np.asarray(res_u.x)).max()
+    assert dx < 1e-8 * max(np.abs(np.asarray(res_u.x)).max(), 1)
