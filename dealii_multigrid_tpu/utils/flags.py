@@ -54,7 +54,10 @@ DEFAULT_POLICY: dict[str, str] = {
     # the level has >= this many patches, so the lane-dense tv pipeline
     # engages below the finest level (api.choose_level_ks; the transfer
     # supports K_coarse in {K_fine, K_fine/2}).  Value = target NP, "0" off.
-    "MGTPU_KADAPT": "0",
+    # TPU-measured at r=7/p=4 (level Ks 8/4/2/...): L6 vmult 7.57 -> 6.36,
+    # L5 2.23 -> 1.03, restrict fine 8.62 -> 6.68, V-cycle 176.6 -> 145.5 ms
+    # (profile_r7 2026-08-18, MGTPU_KADAPT=256)
+    "MGTPU_KADAPT": "256",
 }
 
 
