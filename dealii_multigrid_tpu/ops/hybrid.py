@@ -1239,8 +1239,11 @@ class HybridOperator:
             rounds = self.sf_c_rounds or tuple(
                 (i,) for i in range(len(self.sf_levels))
             )
+            dense = tv.get("sfp_dense")
             for rnd in rounds:
                 idxs, vals_ = [], []
+                routed: dict = {}
+                covers: dict = {}
                 for i in rnd:
                     if tv["sf_patch"][i] is not None:
                         face, src = tv["sf_patch"][i]
@@ -1250,8 +1253,31 @@ class HybridOperator:
                             jnp.einsum("nst,jt->nsj", sv, E1, precision=HIGHEST),
                             E1, precision=HIGHEST,
                         )
-                        idxs.append(face.reshape(-1))
-                        vals_.append(plane.reshape(-1))
+                        if dense is not None and dense[i] is not None:
+                            # dense-plane write: route [n, S, S] group planes
+                            # to [S, S, NP] slabs via one-hot patch matrices;
+                            # ONE blended strided-slab update per (d, side)
+                            # per round replaces the element-priced scatter
+                            off = 0
+                            for (hot, cover), (d, side, n) in zip(
+                                dense[i], self.sf_patch_rows_meta[i]
+                            ):
+                                pg = plane[off : off + n]
+                                off += n
+                                term = jnp.tensordot(
+                                    pg, hot.astype(xt.dtype),
+                                    axes=([0], [0]), precision=HIGHEST,
+                                )
+                                key = (d, side)
+                                if key in routed:
+                                    routed[key] = routed[key] + term
+                                    covers[key] = covers[key] + cover
+                                else:
+                                    routed[key] = term
+                                    covers[key] = cover
+                        else:
+                            idxs.append(face.reshape(-1))
+                            vals_.append(plane.reshape(-1))
                     if tv["sf_single"][i] is not None:
                         face, src = tv["sf_single"][i]
                         _f, _s, _m, pa, pb = self.sf_single[i]
@@ -1266,6 +1292,23 @@ class HybridOperator:
                         vals_.append(plane.reshape(-1))
                 if idxs:
                     xt = xt.at[jnp.concatenate(idxs)].set(jnp.concatenate(vals_))
+                if routed:
+                    S, NP = self.S, self.NP
+                    ps = self.patch_slots
+                    ut = xt[:ps].reshape(S, S, S, NP)
+                    for (d, side), term in routed.items():
+                        cov = jnp.minimum(covers[(d, side)], 1.0).astype(
+                            xt.dtype
+                        )
+                        sl = tuple(
+                            ((S - 1) if side else 0) if a == d else slice(None)
+                            for a in range(3)
+                        )
+                        ut = ut.at[sl].set(ut[sl] * (1.0 - cov) + term)
+                    if xt.shape[0] == ps:
+                        xt = ut.reshape(-1)
+                    else:
+                        xt = jnp.concatenate([ut.reshape(-1), xt[ps:]])
             xt = xt * tv["dirichlet_keep"]
         return xt
 
@@ -1302,16 +1345,42 @@ class HybridOperator:
         rounds = self.sf_ct_rounds or tuple(
             (i,) for i in range(len(self.sf_levels) - 1, -1, -1)
         )
+        dense = tv.get("sfp_dense")
         for rnd in rounds:
             idxs, vals_ = [], []
             for i in rnd:
                 if tv["sf_patch"][i] is not None:
                     face, src = tv["sf_patch"][i]
                     mask = self.sf_patch[i][2]
-                    # surface-priced flat gather — the transposed layout has
-                    # no cheap lattice-slice view, and the face population is
-                    # small (census: 209k elements at r=7/p=4 L7)
-                    plane = rt[face] * mask.astype(rt.dtype)
+                    if dense is not None and dense[i] is not None:
+                        # dense-plane read: ONE strided T-lattice slab per
+                        # (d, side) group, routed [S, S, NP] -> [n, S, S] by
+                        # the one-hot patch matrices (replaces the element-
+                        # priced flat face gather)
+                        S_, NP = self.S, self.NP
+                        ut = rt[: self.patch_slots].reshape(S_, S_, S_, NP)
+                        parts = []
+                        for (hot, _cov), (d, side, n) in zip(
+                            dense[i], self.sf_patch_rows_meta[i]
+                        ):
+                            sl = tuple(
+                                ((S_ - 1) if side else 0)
+                                if a == d
+                                else slice(None)
+                                for a in range(3)
+                            )
+                            slab = ut[sl]  # [S, S, NP]
+                            parts.append(
+                                jnp.tensordot(
+                                    slab, hot.astype(rt.dtype),
+                                    axes=([2], [1]), precision=HIGHEST,
+                                ).transpose(2, 0, 1)
+                            )
+                        plane = jnp.concatenate(parts) * mask.astype(rt.dtype)
+                    else:
+                        # surface-priced flat gather — small face population
+                        # (census: 209k elements at r=7/p=4 L7)
+                        plane = rt[face] * mask.astype(rt.dtype)
                     tmp = jnp.einsum("nij,is->nsj", plane, E1, precision=HIGHEST)
                     contrib = jnp.einsum("nsj,jt->nst", tmp, E1, precision=HIGHEST)
                     idxs.append(src.reshape(-1))
@@ -1830,10 +1899,12 @@ def make_hybrid_operator(
     sf_single_rows, sf_single_rows_meta = [], []
     lvl_face_np, lvl_src_np = [], []  # flat numpy slot sets per level (rounds)
     sf_patch_np, sf_single_np = [], []  # (face, src) numpy copies (tv tables)
+    sfp_groups_np = []  # per level: [(d, side, fidx)] for the tv dense path
     for lev in sf_levels:
         faces, srcs, masks = [], [], []
         rows, rows_meta = [], []
         np_faces, np_srcs = [], []
+        grp_np = []
         for l, d, side, fidx, src_slots in sf_raw:
             if l != lev:
                 continue
@@ -1843,6 +1914,7 @@ def make_hybrid_operator(
             masks.append(ct_mask(fs))
             rows.append(to_device(fidx, jnp.int32))
             rows_meta.append((d, side, len(fidx)))
+            grp_np.append((d, side, np.asarray(fidx, np.int64)))
             np_faces.append(fs.reshape(-1))
             np_srcs.append(np.asarray(src_slots).reshape(-1))
         if faces:
@@ -1855,9 +1927,11 @@ def make_hybrid_operator(
                     to_device(np.concatenate(masks), dtype),
                 )
             )
+            sfp_groups_np.append(grp_np)
         else:
             sf_patch_np.append(None)
             sf_patch.append(None)
+            sfp_groups_np.append(None)
         sf_patch_rows.append(tuple(rows))
         sf_patch_rows_meta.append(tuple(rows_meta))
         faces, srcs, masks, pas, pbs = [], [], [], [], []
@@ -2110,6 +2184,31 @@ def make_hybrid_operator(
             # one-hot transpose GEMM operand (see _t_eye); f32 regardless of
             # the operator dtype — the GEMM path only engages on f32 vectors
             tv["eye"] = to_device(np.eye(fmt.n_patches), jnp.float32)
+        if fmt.n_patches and variant_flag(
+            "MGTPU_TCFACES", np=fmt.n_patches, ns=fmt.n_singles
+        ):
+            # dense-plane structured patch faces (tv layout): per sf level a
+            # tuple of (hot [n, NP], cover [NP]) per face group — the
+            # T-lattice face plane [S, S, NP] is read/written as ONE strided
+            # slab with one-hot patch routing instead of element-priced flat
+            # tables.  Group order and the STATIC (d, side, n) metadata come
+            # from sf_patch_rows_meta (same build order).
+            dense = []
+            for grp in sfp_groups_np:
+                if grp is None:
+                    dense.append(None)
+                    continue
+                items = []
+                for d, side, fidx in grp:
+                    hot = np.zeros((len(fidx), fmt.n_patches), np.float32)
+                    hot[np.arange(len(fidx)), fidx] = 1.0
+                    cover = np.zeros(fmt.n_patches, np.float32)
+                    cover[fidx] = 1.0
+                    items.append(
+                        (to_device(hot, dtype), to_device(cover, dtype))
+                    )
+                dense.append(tuple(items))
+            tv["sfp_dense"] = tuple(dense)
 
     return HybridOperator(
         KS=to_device(KS, dtype),

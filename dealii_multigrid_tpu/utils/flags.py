@@ -58,6 +58,11 @@ DEFAULT_POLICY: dict[str, str] = {
     # L5 2.23 -> 1.03, restrict fine 8.62 -> 6.68, V-cycle 176.6 -> 145.5 ms
     # (profile_r7 2026-08-18, MGTPU_KADAPT=256)
     "MGTPU_KADAPT": "256",
+    # dense-plane structured patch faces in tv mode (one blended strided-slab
+    # update / one slab read per (d, side) per round, one-hot patch routing,
+    # instead of element-priced flat face tables): staged OFF until the TPU
+    # in-context measurement picks it
+    "MGTPU_TCFACES": "",
 }
 
 

@@ -176,6 +176,48 @@ def test_tgemm_boundary_transposes_exact(monkeypatch):
     assert checked, "no tv level with patches built under MGTPU_TGEMM"
 
 
+def test_tcfaces_dense_planes_match_flat(monkeypatch):
+    # MGTPU_TCFACES: structured patch faces applied as dense (d, side)
+    # T-lattice slab blends with one-hot patch routing.  Must equal the
+    # flat-table tv path exactly (one-hot routing = pure selection; the
+    # same einsum products land in the same slots).
+    monkeypatch.setenv("MGTPU_TV", "1")
+    monkeypatch.setenv("MGTPU_TCFACES", "1")
+    levels = _levels("quadrant", 5, 3, jnp.float64)
+    rng = np.random.default_rng(11)
+    checked = False
+    for lv in levels:
+        op = lv.op
+        if op.tv is None or not op.NP:
+            continue
+        if not any(
+            g is not None for g in op.tv.get("sfp_dense", (None,))
+        ):
+            continue
+        plain = dataclasses.replace(
+            op, tv={k: v for k, v in op.tv.items() if k != "sfp_dense"}
+        )
+        x = jnp.asarray(rng.standard_normal(op.n_slots), jnp.float64)
+        a = np.asarray(plain.vmult(x))
+        b = np.asarray(op.vmult(x))
+        scale = max(np.abs(a).max(), 1.0)
+        np.testing.assert_allclose(b, a, rtol=0, atol=1e-12 * scale)
+        # stage-level: apply_c_t and ct_faces_t individually
+        xt = op._to_t(x)
+        np.testing.assert_allclose(
+            np.asarray(op._apply_c_t(xt)),
+            np.asarray(plain._apply_c_t(xt)),
+            rtol=0, atol=1e-12 * scale,
+        )
+        np.testing.assert_allclose(
+            np.asarray(op._ct_faces_t(xt)),
+            np.asarray(plain._ct_faces_t(xt)),
+            rtol=0, atol=1e-12 * scale,
+        )
+        checked = True
+    assert checked, "no tv level carried structured patch faces"
+
+
 def test_scatter_rounds_cover_all_levels():
     # the build-time dependency grouping must partition the sf level list
     levels = _levels("quadrant", 5, 3, jnp.float64)
