@@ -16,6 +16,7 @@ import time
 
 os.environ.setdefault("MGTPU_TV", "1")
 os.environ.setdefault("MGTPU_TGEMM", "1")  # stage eye; both paths timed
+os.environ.setdefault("MGTPU_TCFACES", "1")  # stage dense faces; both timed
 
 if os.environ.get("MGTPU_PLATFORM"):  # CPU smoke-testing
     import jax as _jax_platform_shim
@@ -94,11 +95,21 @@ def main():
         )
         all_t = dataclasses.replace(op, tv=None)
         plain = dataclasses.replace(
+            op, tv={
+                k: v
+                for k, v in op.tv.items()
+                if k not in ("eye", "sfp_dense")
+            }
+        )
+        tcf = dataclasses.replace(
             op, tv={k: v for k, v in op.tv.items() if k != "eye"}
+        )
+        tge = dataclasses.replace(
+            op, tv={k: v for k, v in op.tv.items() if k != "sfp_dense"}
         )
         variants = [
             ("base+rounds", base), ("all_t+rounds", all_t),
-            ("tv", plain), ("tv+tgemm", op),
+            ("tv", plain), ("tv+tgemm", tge), ("tv+tcfaces", tcf),
         ]
         for vname, vop in variants:
             t = timeit_looped(lambda o, v: o.vmult(v), vop, x)
@@ -108,11 +119,13 @@ def main():
         xt = op._to_t(x)
         stages = [
             ("to_t", lambda o, v: o._to_t(v), plain, x),
-            ("to_t[gemm]", lambda o, v: o._to_t(v), op, x),
-            ("from_t[gemm]", lambda o, v: o._from_t(v), op, xt),
+            ("to_t[gemm]", lambda o, v: o._to_t(v), tge, x),
+            ("from_t[gemm]", lambda o, v: o._from_t(v), tge, xt),
             ("apply_c_t", lambda o, v: o._apply_c_t(v), plain, xt),
+            ("apply_c_t[dense]", lambda o, v: o._apply_c_t(v), tcf, xt),
             ("stencil_t", lambda o, v: o._cell_apply_raw_t(v), plain, xt),
             ("ct_faces_t", lambda o, v: o._ct_faces_t(v), plain, xt),
+            ("ct_faces_t[dense]", lambda o, v: o._ct_faces_t(v), tcf, xt),
             ("exchange_t", lambda o, v: o._exchange_t(v), plain, xt),
             ("apply_ct_t", lambda o, v: o._apply_ct_t(v), plain, xt),
             ("from_t", lambda o, v: o._from_t(v), plain, xt),
