@@ -833,6 +833,11 @@ def solve_with_global_coarsening_hybrid(
         n_levels=len(levels),
         dot=True,  # use the operator's ownership-masked dot
         n_dofs=fine.dofh.n_dofs,
+        # opt-in A/B knob: the GC while_loop program does NOT miscompile
+        # (unlike LS), but the depth-1-pipelined host loop can beat it if
+        # the monolithic program schedules worse (profile_r7's PCG-step vs
+        # bench-solve gap)
+        host_loop=os.environ.get("MGTPU_GC_HOST_LOOP", "") == "1",
         df32=df32,
     )
     result.mg = mg
