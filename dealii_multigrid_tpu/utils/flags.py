@@ -60,9 +60,11 @@ DEFAULT_POLICY: dict[str, str] = {
     "MGTPU_KADAPT": "256",
     # dense-plane structured patch faces in tv mode (one blended strided-slab
     # update / one slab read per (d, side) per round, one-hot patch routing,
-    # instead of element-priced flat face tables): staged OFF until the TPU
-    # in-context measurement picks it
-    "MGTPU_TCFACES": "",
+    # instead of element-priced flat face tables): TPU-measured at r=7/p=4
+    # L7 vmult 17.58 -> 15.41 ms in context, neutral at L6 (profile_tv
+    # 2026-08-18) — the win is XLA fusing the slab ops into the pipeline,
+    # not the isolated stage times
+    "MGTPU_TCFACES": "1",
 }
 
 
