@@ -141,6 +141,23 @@ def test_local_smoothing_variants(typ):
     assert max(counts) <= 8 and abs(counts[0] - counts[1]) <= 2
 
 
+@pytest.mark.parametrize("typ", ["HMG-local", "HPMG-local"])
+def test_local_smoothing_kadapt_parity(typ, monkeypatch):
+    """Adaptive per-level K in the LS hierarchy (ls_mode cross-K transfers,
+    id_oct octant identity engages on the conforming level meshes): same
+    iterations and residual quality as the uniform-K build."""
+    res_u, _, _ = api.run(_params(typ, 4, p=2))
+    monkeypatch.setenv("MGTPU_KADAPT", "8")  # tiny target: triggers halving
+    res_a, prob, _ = api.run(_params(typ, 4, p=2))
+    assert res_a.converged and res_u.converged
+    assert res_a.n_iterations == res_u.n_iterations
+    rres = float(
+        jnp.linalg.norm(prob.rhs - prob.op.vmult(res_a.x))
+        / jnp.linalg.norm(prob.rhs)
+    )
+    assert rres < 1.1e-4
+
+
 def test_smoothed_aggregation_amg():
     """Native SA-AMG (solvers/amg.py) as a CG preconditioner."""
     import numpy as np
