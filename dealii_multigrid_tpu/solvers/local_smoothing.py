@@ -272,6 +272,19 @@ class LSHybridLevel:
     from_slots: jax.Array      # i32 [V]
     from_src: jax.Array        # i32 [V]
     n_dofs: int                # n_slots of the level layout
+    # row-copy fast path (MGTPU_LS_ROWCOPY): cells copied at this level
+    # whose patch (same (level, block, K) key) or singleton bucket exists
+    # in BOTH formats copy as whole contiguous rows — block-priced gathers
+    # and row scatters instead of the element-priced flat tables, which
+    # measured as ~70 of the 72 ms LS V-cycle at r=6/p=4 once the
+    # per-level ops went lane-dense.  ``rowcopy`` holds the device index
+    # arrays, ``rowcopy_meta`` the static active-layout dims:
+    #   rowcopy = (pa_gather [NP_l], sa_gather [NS_l],
+    #              pa_sc, pl_sc, sa_sc, sl_sc,
+    #              to_rest_slots, to_rest_src, fr_rest_slots, fr_rest_src)
+    #   rowcopy_meta = (NP_a, S, NS_a, nloc, D_a)
+    rowcopy: tuple | None = None
+    rowcopy_meta: tuple | None = None
 
     @property
     def keep(self) -> jax.Array:
@@ -306,8 +319,9 @@ jax.tree_util.register_dataclass(
     data_fields=[
         "op", "edge_ind", "inv_diag", "eig_b0",
         "to_slots", "to_src", "from_slots", "from_src",
+        "rowcopy",
     ],
-    meta_fields=["n_dofs"],
+    meta_fields=["n_dofs", "rowcopy_meta"],
 )
 
 
@@ -324,10 +338,41 @@ class LocalSmoothingMGHybrid:
 
     def vmult(self, r_active: jax.Array) -> jax.Array:
         L = len(self.levels) - 1
+        from ..ops.hybrid import pack_buckets, unpack_patches, unpack_singles
+
         defect = []
         for lev in self.levels:
-            d = jnp.zeros(lev.n_dofs, r_active.dtype)
-            d = d.at[lev.to_slots].set(r_active[lev.to_src])
+            if lev.rowcopy is not None:
+                (pa_g, sa_g, _pa, _pl, _sa, _sl, trs, trsrc, _f1, _f2) = (
+                    lev.rowcopy
+                )
+                NPa, S_a, NSa, nloc, D_a, has_pp = lev.rowcopy_meta
+                op = lev.op
+                S_l = op.S
+                dt = r_active.dtype
+                pt = None
+                if op.NP:
+                    if has_pp:  # patch pairs exist => S_l == S_a
+                        a2 = unpack_patches(r_active, D_a, NPa, S_a).reshape(
+                            NPa, S_a**3
+                        )
+                        a2p = jnp.concatenate(
+                            [a2, jnp.zeros((1, S_a**3), dt)]
+                        )
+                        pt = a2p[pa_g].reshape(op.NP, S_l, S_l, S_l)
+                    else:
+                        pt = jnp.zeros((op.NP, S_l, S_l, S_l), dt)
+                st = None
+                if op.NS:
+                    as_ = unpack_singles(r_active, D_a, NPa, S_a, NSa, nloc)
+                    asp = jnp.concatenate([as_, jnp.zeros((1, nloc), dt)])
+                    st = asp[sa_g]
+                d = pack_buckets(pt, st, op.n_shards)
+                if trs.shape[0]:
+                    d = d.at[trs].set(r_active[trsrc])
+            else:
+                d = jnp.zeros(lev.n_dofs, r_active.dtype)
+                d = d.at[lev.to_slots].set(r_active[lev.to_src])
             defect.append(d * lev.keep)
         sols = [None] * (L + 1)
 
@@ -358,7 +403,38 @@ class LocalSmoothingMGHybrid:
         # result is slot-consistent by construction
         out = jnp.zeros(self.n_dofs_global, r_active.dtype)
         for lev, u in zip(self.levels, sols):
-            out = out.at[lev.from_slots].set(u[lev.from_src])
+            if lev.rowcopy is not None:
+                (_pg, _sg, pa_sc, pl_sc, sa_sc, sl_sc, _t1, _t2, frs,
+                 frsrc) = lev.rowcopy
+                NPa, S_a, NSa, nloc, D_a, has_pp = lev.rowcopy_meta
+                op = lev.op
+                oa2 = os_ = None
+                if has_pp:  # patch pairs exist => S_l == S_a
+                    oa2 = unpack_patches(out, D_a, NPa, S_a).reshape(
+                        NPa, S_a**3
+                    )
+                    u2 = unpack_patches(u, op.n_shards, op.NP, op.S).reshape(
+                        op.NP, op.S**3
+                    )
+                    oa2 = oa2.at[pa_sc].set(u2[pl_sc]).reshape(
+                        NPa, S_a, S_a, S_a
+                    )
+                if sa_sc.shape[0]:
+                    os_ = unpack_singles(out, D_a, NPa, S_a, NSa, nloc)
+                    us_ = unpack_singles(
+                        u, op.n_shards, op.NP, op.S, op.NS, nloc
+                    )
+                    os_ = os_.at[sa_sc].set(us_[sl_sc])
+                if oa2 is not None or os_ is not None:
+                    if oa2 is None:
+                        oa2 = unpack_patches(out, D_a, NPa, S_a)
+                    if os_ is None and NSa:
+                        os_ = unpack_singles(out, D_a, NPa, S_a, NSa, nloc)
+                    out = pack_buckets(oa2, os_, D_a)
+                if frs.shape[0]:
+                    out = out.at[frs].set(u[frsrc])
+            else:
+                out = out.at[lev.from_slots].set(u[lev.from_src])
         return out
 
 
@@ -367,6 +443,101 @@ jax.tree_util.register_dataclass(
     data_fields=["levels", "smoothers", "transfers", "coarse_solve"],
     meta_fields=["n_dofs_global"],
 )
+
+
+def _copy_row_maps(
+    active_fmt, fmt, l, sel, pos, to_flat, to_src, fr_flat, fr_src
+):
+    """Row-structured copy maps for one LS level (MGTPU_LS_ROWCOPY).
+
+    Cells copied at level ``l`` that sit in SAME-(level, block, K) patches
+    or in singleton buckets of BOTH formats copy as whole contiguous rows
+    (identical intra-row layouts by construction); the remaining entries of
+    the exact element tables stay as a leftover element copy.  Returns
+    (rowcopy, rowcopy_meta) or (None, None) when nothing matches / flag off.
+    """
+    from ..utils.flags import variant_flag
+
+    if sel is None or not len(sel) or not variant_flag(
+        "MGTPU_LS_ROWCOPY", np=fmt.n_patches, ns=fmt.n_singles
+    ):
+        return None, None
+    S3 = fmt.S**3
+    nloc = fmt.dofh.n_loc
+    # patch pairs by (block) key at level l (same K => same lattice layout)
+    pa_list, pl_list = [], []
+    if fmt.K == active_fmt.K and fmt.n_patches and active_fmt.n_patches:
+        keys_l = {}
+        for j in range(fmt.n_patches):
+            if int(fmt.patch_level[j]) == l:
+                keys_l[tuple(int(x) for x in fmt.patch_block[j])] = j
+        for i in range(active_fmt.n_patches):
+            if int(active_fmt.patch_level[i]) != l:
+                continue
+            j = keys_l.get(tuple(int(x) for x in active_fmt.patch_block[i]))
+            if j is not None:
+                pa_list.append(i)
+                pl_list.append(j)
+    # singleton pairs: copied cell is a singleton in BOTH formats
+    srow_act = np.full(active_fmt.dofh.mesh.n_cells, -1, np.int64)
+    real_a = np.nonzero(active_fmt.single_cells >= 0)[0]
+    srow_act[active_fmt.single_cells[real_a]] = real_a
+    srow_lvl = np.full(fmt.dofh.mesh.n_cells, -1, np.int64)
+    real_l = np.nonzero(fmt.single_cells >= 0)[0]
+    srow_lvl[fmt.single_cells[real_l]] = real_l
+    sa_arr = srow_act[sel]
+    sl_arr = srow_lvl[pos]
+    s_ok = (sa_arr >= 0) & (sl_arr >= 0)
+    sa_arr, sl_arr = sa_arr[s_ok], sl_arr[s_ok]
+    if not pa_list and not len(sa_arr):
+        return None, None
+    pa_arr = np.asarray(pa_list, np.int64)
+    pl_arr = np.asarray(pl_list, np.int64)
+    # coverage masks -> leftover element entries
+    cov_l = np.zeros(fmt.n_slots, bool)
+    cov_a = np.zeros(active_fmt.n_slots, bool)
+    if len(pa_arr):
+        cov_l[
+            (fmt.patch_slot_base(pl_arr)[:, None]
+             + np.arange(S3)[None, :]).reshape(-1)
+        ] = True
+        cov_a[
+            (active_fmt.patch_slot_base(pa_arr)[:, None]
+             + np.arange(S3)[None, :]).reshape(-1)
+        ] = True
+    if len(sa_arr):
+        cov_l[
+            (fmt.single_slot_base(sl_arr)[:, None]
+             + np.arange(nloc)[None, :]).reshape(-1)
+        ] = True
+        cov_a[
+            (active_fmt.single_slot_base(sa_arr)[:, None]
+             + np.arange(nloc)[None, :]).reshape(-1)
+        ] = True
+    t_rest = ~cov_l[to_flat]
+    f_rest = ~cov_a[fr_flat]
+    # gather maps (pad row = zero)
+    pa_g = np.full(fmt.n_patches, active_fmt.n_patches, np.int64)
+    pa_g[pl_arr] = pa_arr
+    sa_g = np.full(fmt.n_singles, active_fmt.n_singles, np.int64)
+    sa_g[sl_arr] = sa_arr
+    rowcopy = (
+        to_device(pa_g, jnp.int32),
+        to_device(sa_g, jnp.int32),
+        to_device(pa_arr, jnp.int32),
+        to_device(pl_arr, jnp.int32),
+        to_device(sa_arr, jnp.int32),
+        to_device(sl_arr, jnp.int32),
+        to_device(to_flat[t_rest], jnp.int32),
+        to_device(to_src[t_rest], jnp.int32),
+        to_device(fr_flat[f_rest], jnp.int32),
+        to_device(fr_src[f_rest], jnp.int32),
+    )
+    meta = (
+        active_fmt.n_patches, active_fmt.S, active_fmt.n_singles, nloc,
+        active_fmt.n_shards, bool(len(pa_arr)),
+    )
+    return rowcopy, meta
 
 
 def build_local_smoothing_mg_hybrid(
@@ -469,6 +640,11 @@ def build_local_smoothing_mg_hybrid(
         else:
             to_flat = to_src = fr_flat = fr_src = np.zeros(0, np.int64)
 
+        rowcopy, rowcopy_meta = _copy_row_maps(
+            active_fmt, fmt, l, sel, pos if len(sel) else None,
+            to_flat, to_src, fr_flat, fr_src,
+        )
+
         lev = LSHybridLevel(
             op=op,
             edge_ind=to_device(fmt.from_global(edge_f), dtype),
@@ -481,6 +657,8 @@ def build_local_smoothing_mg_hybrid(
             from_slots=to_device(fr_flat, jnp.int32),
             from_src=to_device(fr_src, jnp.int32),
             n_dofs=fmt.n_slots,
+            rowcopy=rowcopy,
+            rowcopy_meta=rowcopy_meta,
         )
         if dmesh is not None:
             lev = _place_ls_level(lev, dmesh)
@@ -595,6 +773,11 @@ def _place_ls_level(lev: LSHybridLevel, dmesh):
         to_src=put(lev.to_src, rep),
         from_slots=put(lev.from_slots, rep),
         from_src=put(lev.from_src, rep),
+        rowcopy=(
+            jax.tree.map(lambda a: put(a, rep), lev.rowcopy)
+            if lev.rowcopy is not None
+            else None
+        ),
     )
 
 

@@ -58,6 +58,14 @@ DEFAULT_POLICY: dict[str, str] = {
     # L5 2.23 -> 1.03, restrict fine 8.62 -> 6.68, V-cycle 176.6 -> 145.5 ms
     # (profile_r7 2026-08-18, MGTPU_KADAPT=256)
     "MGTPU_KADAPT": "256",
+    # LS copy_to/from_mg as row-structured copies (matched patches copy as
+    # whole contiguous [S^3] rows, singletons as [nloc] rows; element
+    # leftovers only for bucket-mismatched cells).  The flat element tables
+    # measured as ~70 of the 72 ms LS V-cycle at r=6/p=4; TPU A/B on the
+    # full HMG-local solve (r=6/p=4, 2026-08-19): 0.519 s -> 0.246 s
+    # (17.8 -> 37.5 MDoF/s), 4 iterations both, vs HMG-global 0.143 s in
+    # the same session — LS lands within 1.3x of GC
+    "MGTPU_LS_ROWCOPY": "1",
     # dense-plane structured patch faces in tv mode (one blended strided-slab
     # update / one slab read per (d, side) per round, one-hot patch routing,
     # instead of element-priced flat face tables): TPU-measured at r=7/p=4

@@ -158,6 +158,53 @@ def test_local_smoothing_kadapt_parity(typ, monkeypatch):
     assert rres < 1.1e-4
 
 
+def test_ls_rowcopy_matches_tables(monkeypatch):
+    """MGTPU_LS_ROWCOPY: row-structured copy_to/from_mg must be BIT-exact
+    vs the element tables on slot-consistent input (the only input class
+    the preconditioner ever sees), and the e2e solve must keep iteration
+    parity."""
+    import dataclasses
+
+    from dealii_multigrid_tpu.mesh import generators as G
+    from dealii_multigrid_tpu.solvers.local_smoothing import (
+        build_local_smoothing_mg_hybrid,
+    )
+    from dealii_multigrid_tpu.utils.params import MultigridParameters
+
+    res_u, _, _ = api.run(_params("HMG-local", 4, p=2))
+    monkeypatch.setenv("MGTPU_LS_ROWCOPY", "1")
+    mesh = G.create("quadrant", 3, 4)
+    fine = api.build_level_hybrid(mesh, 2, jnp.float64)
+    mg = MultigridParameters()
+    mg.coarse_solver.type = "amg"
+    lsmg = build_local_smoothing_mg_hybrid(
+        fine.dofh, fine.fmt, mg, dtype=jnp.float64
+    )
+    assert any(lv.rowcopy is not None for lv in lsmg.levels)
+    lsmg_tab = dataclasses.replace(
+        lsmg,
+        levels=tuple(
+            dataclasses.replace(lv, rowcopy=None, rowcopy_meta=None)
+            for lv in lsmg.levels
+        ),
+    )
+    rng = np.random.default_rng(0)
+    rv = jnp.asarray(
+        fine.fmt.from_global(rng.standard_normal(fine.dofh.n_dofs))
+    )
+    np.testing.assert_array_equal(
+        np.asarray(lsmg.vmult(rv)), np.asarray(lsmg_tab.vmult(rv))
+    )
+    res_rc, prob, _ = api.run(_params("HMG-local", 4, p=2))
+    assert res_rc.converged
+    assert res_rc.n_iterations == res_u.n_iterations
+    rres = float(
+        jnp.linalg.norm(prob.rhs - prob.op.vmult(res_rc.x))
+        / jnp.linalg.norm(prob.rhs)
+    )
+    assert rres < 1.1e-4
+
+
 def test_smoothed_aggregation_amg():
     """Native SA-AMG (solvers/amg.py) as a CG preconditioner."""
     import numpy as np
