@@ -28,7 +28,24 @@ def _emit(out: dict) -> int:
     return 0
 
 
+def _ab_overrides() -> list[str]:
+    """MGTPU_* env knobs that change WHAT is measured (A/B experiments).
+
+    A bench run under such a knob must not overwrite the last-good seed —
+    round-4 lesson: the MGTPU_GC_HOST_LOOP=1 A/B run clobbered the seed
+    with the losing variant's number.  MGTPU_THP only affects host setup
+    speed, not the measured solve, so it is allowed."""
+    benign = {"MGTPU_THP", "MGTPU_PLATFORM"}
+    return sorted(k for k in os.environ
+                  if k.startswith("MGTPU_") and k not in benign)
+
+
 def _save_last_good(out: dict) -> None:
+    knobs = _ab_overrides()
+    if knobs:
+        print(f"bench: A/B overrides {knobs} set; NOT updating the "
+              "last-good seed", file=sys.stderr)
+        return
     stamped = dict(out, captured_at=time.strftime("%Y-%m-%dT%H:%M:%SZ",
                                                   time.gmtime()))
     for path in (_LAST_GOOD, _LAST_GOOD_SEED):

@@ -62,6 +62,9 @@ def timeit_looped(f, o, v, n_loop=8, reps=2):
 def main():
     r = int(sys.argv[1]) if len(sys.argv) > 1 else 7
     p = int(sys.argv[2]) if len(sys.argv) > 2 else 4
+    # "lite": fine level only, production variants only (~7 programs instead
+    # of ~32 — each costs the remote compiler 25-450 s on a cold cache)
+    lite = len(sys.argv) > 3 and sys.argv[3] == "lite"
 
     from dealii_multigrid_tpu import api
     from dealii_multigrid_tpu.mesh import generators
@@ -73,7 +76,8 @@ def main():
     plan = api.gc_level_plan("HMG-global", tri_seq, p)
     ks = api.choose_level_ks(plan)  # honors MGTPU_KADAPT
     levels = {}
-    for li in (len(plan) - 1, len(plan) - 2):
+    lis = (len(plan) - 1,) if lite else (len(plan) - 1, len(plan) - 2)
+    for li in lis:
         m, d = plan[li]
         levels[li] = api.build_level_hybrid(m, d, jnp.float32, K=ks[li])
     print(f"setup {time.time()-t0:.1f}s", flush=True)
@@ -111,6 +115,8 @@ def main():
             ("base+rounds", base), ("all_t+rounds", all_t),
             ("tv", plain), ("tv+tgemm", tge), ("tv+tcfaces", tcf),
         ]
+        if lite:
+            variants = [("tv+tcfaces", tcf)]
         for vname, vop in variants:
             t = timeit_looped(lambda o, v: o.vmult(v), vop, x)
             print(f"  vmult[{vname:12s}] {t*1e3:8.3f} ms", flush=True)
@@ -130,6 +136,16 @@ def main():
             ("apply_ct_t", lambda o, v: o._apply_ct_t(v), plain, xt),
             ("from_t", lambda o, v: o._from_t(v), plain, xt),
         ]
+        if lite:
+            stages = [
+                ("to_t", lambda o, v: o._to_t(v), tcf, x),
+                ("apply_c_t[dense]", lambda o, v: o._apply_c_t(v), tcf, xt),
+                ("stencil_t", lambda o, v: o._cell_apply_raw_t(v), tcf, xt),
+                ("ct_faces_t[dense]", lambda o, v: o._ct_faces_t(v), tcf, xt),
+                ("exchange_t", lambda o, v: o._exchange_t(v), tcf, xt),
+                ("apply_ct_t", lambda o, v: o._apply_ct_t(v), tcf, xt),
+                ("from_t", lambda o, v: o._from_t(v), tcf, xt),
+            ]
         for name, f, o_, arg in stages:
             t = timeit_looped(f, o_, arg)
             print(f"  {name:14s} {t*1e3:8.3f} ms", flush=True)
@@ -138,6 +154,8 @@ def main():
         # duplicate face targets receiving equal values, so on inconsistent
         # vectors the winner is legitimately backend/program-dependent (a
         # raw randn vector showed a spurious 2.3e-3 'error' here).
+        if lite:
+            continue
         fmt = levels[li].fmt
         u = rng.standard_normal(fmt.dofh.n_dofs).astype(np.float32)
         xc = jnp.asarray(fmt.from_global(u).astype(np.float32))
