@@ -33,6 +33,7 @@ from .solvers.cg import cg_solve
 from .solvers.chebyshev import ChebyshevSmoother, estimate_eigenvalue_ranges
 from .solvers.coarse import make_coarse_solver
 from .solvers.multigrid import Multigrid, PreconditionMG
+from .utils.flags import gc_chain_k as _gc_chain_k
 from .utils.params import MultigridParameters, RunParameters
 from .utils.device import to_device
 
@@ -209,6 +210,7 @@ def mg_solve(
     n_dofs: int | None = None,
     host_loop: bool = False,
     df32: bool = False,
+    chain: int = 0,
 ) -> MGSolveResult:
     """Warm-up solve + best-of-n_repetitions timed CG, the reference's
     benchmark protocol (multigrid_throughput.cc:1140-1268).
@@ -221,7 +223,14 @@ def mg_solve(
     the loop's residual and ||b - A x|| diverge — while every M/A
     composition is bit-exact when compiled one application per program
     (measured; CPU agrees with the single-application results everywhere).
-    The cost is one dispatch per CG iteration."""
+    The cost is one dispatch per CG iteration.
+
+    ``chain=k0`` (host_loop off, non-df32) runs the CG as a chunked
+    unrolled chain instead of the lax.while_loop: the first k0 iterations
+    are ONE program with the convergence test masked in, leftovers one
+    per dispatch (solvers/cg.py::cg_solve_chain).  Measured round-4c: the
+    while_loop pays ~170 ms fixed over the identical chain at bench
+    scale.  The multi-iteration miscompile guard below still applies."""
     ctrl = (
         mg_data.cg_parameter_study if mg_data.do_parameter_study else mg_data.cg_normal
     )
@@ -249,6 +258,20 @@ def mg_solve(
                     reltol=ctrl.reltol,
                     force_iterations=_force,
                     use_weight=use_op_dot,
+                )
+        elif chain:
+
+            def solve(fop, precond, b):
+                return _tf.cg_solve_chain_df32(
+                    fop,
+                    b,
+                    preconditioner=precond,
+                    maxiter=ctrl.maxiter,
+                    abstol=ctrl.abstol,
+                    reltol=ctrl.reltol,
+                    force_iterations=_force,
+                    use_weight=use_op_dot,
+                    k0=chain,
                 )
         else:
 
@@ -282,6 +305,25 @@ def mg_solve(
                     else None
                 ),
                 use_op_dot=use_op_dot,
+            )
+    elif chain:
+        from .solvers.cg import cg_solve_chain
+
+        def solve(fop, precond, b):
+            return cg_solve_chain(
+                fop,
+                b,
+                preconditioner=precond,
+                maxiter=ctrl.maxiter,
+                abstol=ctrl.abstol,
+                reltol=ctrl.reltol,
+                force_iterations=(
+                    mg_data.cg_parameter_study.maxiter
+                    if mg_data.do_parameter_study
+                    else None
+                ),
+                use_op_dot=use_op_dot,
+                k0=chain,
             )
     else:
         # operators/preconditioner are jit ARGUMENTS (pytrees): their index
@@ -839,6 +881,9 @@ def solve_with_global_coarsening_hybrid(
         # bench-solve gap)
         host_loop=os.environ.get("MGTPU_GC_HOST_LOOP", "") == "1",
         df32=df32,
+        # chunked-chain CG (round-4c: the while_loop pays ~170 ms fixed
+        # over the identical unrolled chain on axon; utils/flags.py)
+        chain=_gc_chain_k(),
     )
     result.mg = mg
     if df32:

@@ -55,60 +55,175 @@ def cg_solve(
         x = x0
         r = b - a_vmult(x0)
 
-    norm0 = norm(r)
+    nrm2 = dot(r, r)
+    norm0 = jnp.sqrt(nrm2.real)
     if force_iterations is not None:
         tol = jnp.asarray(0.0, b.dtype)
         maxiter = force_iterations
     else:
         tol = jnp.maximum(jnp.asarray(abstol, norm0.dtype), reltol * norm0)
 
-    z = preconditioner(r)
-    rz = dot(r, z)
+    # deal.II SolverCG ordering (solver_cg.h): the preconditioner applies at
+    # the START of the body, AFTER the convergence test on the fresh
+    # residual — so a converged solve does exactly n_it M-applies, not
+    # n_it + 1.  At bench scale the V-cycle is ~145 ms, ~20% of a
+    # 3-iteration solve (measured round-4c).  beta is masked to 0 on the
+    # first iteration (rz carries ||r0||^2, a nonzero placeholder).
 
     def cond(state):
-        x, r, z, p, rz, it, res = state
+        x, r, p, rz, it, res = state
         return (res > tol.astype(res.dtype)) & (it < maxiter)
 
     def body(state):
-        x, r, z, p, rz, it, res = state
-        ap = a_vmult(p)
-        # scalars may be computed in higher precision (f64 dots under an f32
-        # solve); cast back for the vector updates
-        alpha = (rz / dot(p, ap)).astype(x.dtype)
-        x = x + alpha * p
-        r = r - alpha * ap
+        x, r, p, rz, it, res = state
         z = preconditioner(r)
         rz_new = dot(r, z)
-        beta = (rz_new / rz).astype(x.dtype)
+        # scalars may be computed in higher precision (f64 dots under an f32
+        # solve); cast back for the vector updates
+        beta = jnp.where(it == 0, jnp.zeros_like(rz_new), rz_new / rz).astype(
+            x.dtype
+        )
         p = z + beta * p
-        return (x, r, z, p, rz_new, it + 1, norm(r).astype(res.dtype))
+        ap = a_vmult(p)
+        alpha = (rz_new / dot(p, ap)).astype(x.dtype)
+        x = x + alpha * p
+        r = r - alpha * ap
+        return (x, r, p, rz_new, it + 1, norm(r).astype(res.dtype))
 
-    state = (x, r, z, z, rz, jnp.asarray(0, jnp.int32), norm0)
-    x, r, z, p, rz, it, res = jax.lax.while_loop(cond, body, state)
+    state = (x, r, jnp.zeros_like(x), nrm2, jnp.asarray(0, jnp.int32), norm0)
+    x, r, p, rz, it, res = jax.lax.while_loop(cond, body, state)
     return CGResult(x, it, res, res <= tol, norm0)
 
 
-@partial(jax.jit, static_argnames=("use_op_dot",))
-def _cg_host_init(fop, precond, b, use_op_dot):
-    dot = fop.dot if use_op_dot else (lambda a, c: jnp.sum(a * c))
-    r = b
+def _pcg_masked_step(fop, precond, state, tol, maxiter, dot):
+    """One PCG iteration that freezes once converged (or at maxiter).
+
+    Applies the identical update as cg_solve's body (deal.II ordering:
+    M-apply first, masked on the convergence test), then keeps the OLD
+    state where the convergence test already held — so an unrolled chain
+    of these steps produces bit-identical iterates and iteration counts
+    to the while_loop, paying only wasted (discarded) flops on the steps
+    past convergence inside the final chunk."""
+    x, r, p, rz, it, res = state
+    active = (res > tol.astype(res.dtype)) & (it < maxiter)
     z = precond.vmult(r)
-    rz = dot(r, z)
-    return r, z, rz, jnp.sqrt(dot(r, r).real)
+    rz2 = dot(r, z)
+    beta = jnp.where(it == 0, jnp.zeros_like(rz2), rz2 / rz).astype(x.dtype)
+    p2 = z + beta * p
+    ap = fop.vmult(p2)
+    alpha = (rz2 / dot(p2, ap)).astype(x.dtype)
+    x2 = x + alpha * p2
+    r2 = r - alpha * ap
+    res2 = jnp.sqrt(dot(r2, r2).real).astype(res.dtype)
+    sel = lambda n, o: jnp.where(active, n, o)
+    return (
+        sel(x2, x), sel(r2, r), sel(p2, p),
+        jnp.where(active, rz2, rz),
+        it + active.astype(it.dtype),
+        jnp.where(active, res2, res),
+    )
+
+
+@partial(jax.jit, static_argnames=("k", "use_op_dot"))
+def _cg_chain_first(fop, precond, b, abstol, reltol, maxiter, k, use_op_dot):
+    """CG init + k unrolled masked PCG iterations in ONE program."""
+    dot = fop.dot if use_op_dot else (lambda a, c: jnp.sum(a * c))
+    x = jnp.zeros_like(b)
+    r = b
+    nrm2 = dot(r, r)
+    norm0 = jnp.sqrt(nrm2.real)
+    tol = jnp.maximum(
+        jnp.asarray(abstol, norm0.dtype), jnp.asarray(reltol, norm0.dtype) * norm0
+    )
+    state = (x, r, jnp.zeros_like(x), nrm2, jnp.asarray(0, jnp.int32), norm0)
+    for _ in range(k):
+        state = _pcg_masked_step(fop, precond, state, tol, maxiter, dot)
+    return state, norm0, tol
+
+
+@partial(jax.jit, static_argnames=("k", "use_op_dot"))
+def _cg_chain_more(fop, precond, state, tol, maxiter, k, use_op_dot):
+    dot = fop.dot if use_op_dot else (lambda a, c: jnp.sum(a * c))
+    for _ in range(k):
+        state = _pcg_masked_step(fop, precond, state, tol, maxiter, dot)
+    return state
+
+
+def cg_solve_chain(
+    fop,
+    b: jax.Array,
+    preconditioner,
+    maxiter: int = 10000,
+    abstol: float = 1e-20,
+    reltol: float = 1e-4,
+    force_iterations: int | None = None,
+    use_op_dot: bool = False,
+    k0: int = 3,
+) -> CGResult:
+    """PCG as a host loop over CHUNKS of unrolled iterations.
+
+    Motivation (measured, RESULTS.md round-4c probe_cg_loop at quadrant
+    r=7/p=4): the monolithic lax.while_loop program pays a ~170 ms FIXED
+    cost over the identical unrolled chain on the axon TPU backend
+    (chain t(3)=579 ms vs while t(3)=736 ms; per-iteration costs match at
+    ~180 ms), while a one-step-per-dispatch host loop pays the ~35 ms
+    tunnel latency per iteration.  The chunked chain gets the best of
+    both: the first k0 iterations (k0 = expected count, e.g. 3 for the
+    quadrant benchmark family) run as one dispatch with the convergence
+    test masked in (``_pcg_masked_step``), then any leftover iterations
+    run one per dispatch.  Identical iterates and iteration counts to
+    cg_solve; past-convergence steps inside a chunk are computed and
+    discarded (masked), so oversizing k0 wastes device flops but never
+    changes the result.
+    """
+    if force_iterations is not None:
+        abstol_, reltol_, maxiter = 0.0, 0.0, force_iterations
+    else:
+        abstol_, reltol_ = abstol, reltol
+    k0 = max(1, min(k0, max(maxiter, 1)))
+    state, norm0, tol = _cg_chain_first(
+        fop, preconditioner, b, abstol_, reltol_, maxiter, k0, use_op_dot
+    )
+    it, res, tol_f = jax.device_get((state[4], state[5], tol))
+    it, res, tol_f = int(it), float(res), float(tol_f)
+    while res > tol_f and it < maxiter:
+        state = _cg_chain_more(
+            fop, preconditioner, state, tol, maxiter, 1, use_op_dot
+        )
+        it, res = jax.device_get((state[4], state[5]))
+        it, res = int(it), float(res)
+    return CGResult(
+        state[0],
+        jnp.asarray(it, jnp.int32),
+        jnp.asarray(res, b.dtype),
+        jnp.asarray(res <= tol_f),
+        norm0,
+    )
 
 
 @partial(jax.jit, static_argnames=("use_op_dot",))
-def _cg_host_step(fop, precond, x, r, p, rz, use_op_dot):
-    """One PCG iteration as its own program (one A apply + one M apply)."""
+def _cg_host_init(fop, b, use_op_dot):
     dot = fop.dot if use_op_dot else (lambda a, c: jnp.sum(a * c))
-    ap = fop.vmult(p)
-    alpha = (rz / dot(p, ap)).astype(x.dtype)
-    x = x + alpha * p
-    r = r - alpha * ap
+    nrm2 = dot(b, b)
+    return nrm2, jnp.sqrt(nrm2.real)
+
+
+@partial(jax.jit, static_argnames=("use_op_dot",))
+def _cg_host_step(fop, precond, x, r, p, rz, it, use_op_dot):
+    """One PCG iteration as its own program (one M apply + one A apply,
+    deal.II ordering — see cg_solve).  ``it`` masks beta to 0 on the first
+    iteration (rz then carries the nonzero ||r0||^2 placeholder)."""
+    dot = fop.dot if use_op_dot else (lambda a, c: jnp.sum(a * c))
     z = precond.vmult(r)
     rz_new = dot(r, z)
-    beta = (rz_new / rz).astype(x.dtype)
+    beta = jnp.where(it == 0, jnp.zeros_like(rz_new), rz_new / rz).astype(
+        x.dtype
+    )
     p = z + beta * p
+    ap = fop.vmult(p)
+    alpha = (rz_new / dot(p, ap)).astype(x.dtype)
+    x = x + alpha * p
+    r = r - alpha * ap
     return x, r, p, rz_new, jnp.sqrt(dot(r, r).real)
 
 
@@ -138,7 +253,7 @@ def cg_solve_host(
     one speculatively dispatched step is discarded (its result is never
     used; x_k with ||r_k|| <= tol is returned — identical iterates and
     iteration counts to the sequential loop)."""
-    r, z, rz, norm0 = _cg_host_init(fop, preconditioner, b, use_op_dot)
+    rz0, norm0 = _cg_host_init(fop, b, use_op_dot)
     if force_iterations is not None:
         tol = 0.0
         maxiter = force_iterations
@@ -153,13 +268,15 @@ def cg_solve_host(
         )
     it = 0
     # step 1 in flight; x_cur/res track the last CHECKED state
-    step = _cg_host_step(fop, preconditioner, x, r, z, rz, use_op_dot)
+    step = _cg_host_step(
+        fop, preconditioner, x, b, jnp.zeros_like(x), rz0, 0, use_op_dot
+    )
     x_cur = x
     while res > tol and it < maxiter:
         nxt = (
             _cg_host_step(
                 fop, preconditioner, step[0], step[1], step[2], step[3],
-                use_op_dot,
+                it + 1, use_op_dot,
             )
             if it + 1 < maxiter
             else None

@@ -215,34 +215,38 @@ def cg_solve_df32(
 
     x = tf_zeros_like(b.hi)
     r = TF(b.hi, b.lo)
-    norm0 = tf_norm(r, weight)
+    nrm2 = tf_dot(r, r, weight)
+    norm0 = jnp.sqrt(nrm2)
     if force_iterations is not None:
         tol = jnp.asarray(0.0, jnp.float32)
         maxiter = force_iterations
     else:
         tol = jnp.maximum(jnp.asarray(abstol, jnp.float32), reltol * norm0)
 
-    z = preconditioner(tf_round(r))
-    rz = tf_dot_f32(r, z, weight)
+    # deal.II SolverCG ordering (see cg.cg_solve): M applies at the START
+    # of the body, after the convergence test — a converged solve does
+    # exactly n_it V-cycles.  beta masked to 0 on the first iteration.
 
     def cond(state):
-        x, r, z, p, rz, it, res = state
+        x, r, p, rz, it, res = state
         return (res > tol) & (it < maxiter)
 
     def body(state):
-        x, r, z, p, rz, it, res = state
-        ap = a_vmult(tf_round(p))
-        alpha = rz / tf_dot_f32(p, ap, weight)
-        x = tf_axpy(alpha, p, x)
-        r = tf_axpy_f32(-alpha, ap, r)
+        x, r, p, rz, it, res = state
         z = preconditioner(tf_round(r))
         rz_new = tf_dot_f32(r, z, weight)
-        beta = rz_new / rz
+        beta = jnp.where(it == 0, jnp.zeros_like(rz_new), rz_new / rz)
         p = tf_xpby(z, beta, p)
-        return (x, r, z, p, rz_new, it + 1, tf_norm(r, weight))
+        ap = a_vmult(tf_round(p))
+        alpha = rz_new / tf_dot_f32(p, ap, weight)
+        x = tf_axpy(alpha, p, x)
+        r = tf_axpy_f32(-alpha, ap, r)
+        return (x, r, p, rz_new, it + 1, tf_norm(r, weight))
 
-    state = (x, r, z, tf_from_f32(z), rz, jnp.asarray(0, jnp.int32), norm0)
-    x, r, z, p, rz, it, res = jax.lax.while_loop(cond, body, state)
+    state = (
+        x, r, tf_zeros_like(b.hi), nrm2, jnp.asarray(0, jnp.int32), norm0
+    )
+    x, r, p, rz, it, res = jax.lax.while_loop(cond, body, state)
     return CGResult(x, it, res, res <= tol, norm0)
 
 
@@ -254,26 +258,117 @@ from functools import partial  # noqa: E402
 
 
 @partial(jax.jit, static_argnames=("use_weight",))
-def _df32_host_init(fop, precond, b: TF, use_weight: bool):
+def _df32_host_init(fop, b: TF, use_weight: bool):
     w = fop.owner if use_weight else None
     r = TF(b.hi, b.lo)
-    z = precond.vmult(tf_round(r))
-    rz = tf_dot_f32(r, z, w)
-    return r, z, rz, tf_norm(r, w)
+    nrm2 = tf_dot(r, r, w)
+    return nrm2, jnp.sqrt(nrm2)
 
 
 @partial(jax.jit, static_argnames=("use_weight",))
-def _df32_host_step(fop, precond, x: TF, r: TF, p: TF, rz, use_weight: bool):
+def _df32_host_step(fop, precond, x: TF, r: TF, p: TF, rz, it,
+                    use_weight: bool):
+    """One df32 PCG iteration (deal.II ordering — see cg._cg_host_step)."""
     w = fop.owner if use_weight else None
-    ap = fop.vmult(tf_round(p))
-    alpha = rz / tf_dot_f32(p, ap, w)
-    x = tf_axpy(alpha, p, x)
-    r = tf_axpy_f32(-alpha, ap, r)
     z = precond.vmult(tf_round(r))
     rz_new = tf_dot_f32(r, z, w)
-    beta = rz_new / rz
+    beta = jnp.where(it == 0, jnp.zeros_like(rz_new), rz_new / rz)
     p = tf_xpby(z, beta, p)
+    ap = fop.vmult(tf_round(p))
+    alpha = rz_new / tf_dot_f32(p, ap, w)
+    x = tf_axpy(alpha, p, x)
+    r = tf_axpy_f32(-alpha, ap, r)
     return x, r, p, rz_new, tf_norm(r, w)
+
+
+def _df32_masked_step(fop, precond, state, tol, maxiter, w):
+    """One double-single PCG iteration frozen once converged (chain mode;
+    deal.II ordering — see cg._pcg_masked_step for the masking contract)."""
+    x, r, p, rz, it, res = state
+    active = (res > tol) & (it < maxiter)
+    z = precond.vmult(tf_round(r))
+    rz2 = tf_dot_f32(r, z, w)
+    beta = jnp.where(it == 0, jnp.zeros_like(rz2), rz2 / rz)
+    p2 = tf_xpby(z, beta, p)
+    ap = fop.vmult(tf_round(p2))
+    alpha = rz2 / tf_dot_f32(p2, ap, w)
+    x2 = tf_axpy(alpha, p2, x)
+    r2 = tf_axpy_f32(-alpha, ap, r)
+    res2 = tf_norm(r2, w)
+    sel = lambda n, o: jax.tree.map(lambda a, c: jnp.where(active, a, c), n, o)
+    return (
+        sel(x2, x), sel(r2, r), sel(p2, p),
+        jnp.where(active, rz2, rz),
+        it + active.astype(it.dtype),
+        jnp.where(active, res2, res),
+    )
+
+
+@partial(jax.jit, static_argnames=("k", "use_weight"))
+def _df32_chain_first(fop, precond, b: TF, abstol, reltol, maxiter, k,
+                      use_weight: bool):
+    w = fop.owner if use_weight else None
+    x = tf_zeros_like(b.hi)
+    r = TF(b.hi, b.lo)
+    nrm2 = tf_dot(r, r, w)
+    norm0 = jnp.sqrt(nrm2)
+    tol = jnp.maximum(
+        jnp.asarray(abstol, jnp.float32),
+        jnp.asarray(reltol, jnp.float32) * norm0,
+    )
+    state = (
+        x, r, tf_zeros_like(b.hi), nrm2, jnp.asarray(0, jnp.int32), norm0
+    )
+    for _ in range(k):
+        state = _df32_masked_step(fop, precond, state, tol, maxiter, w)
+    return state, norm0, tol
+
+
+@partial(jax.jit, static_argnames=("k", "use_weight"))
+def _df32_chain_more(fop, precond, state, tol, maxiter, k, use_weight: bool):
+    w = fop.owner if use_weight else None
+    for _ in range(k):
+        state = _df32_masked_step(fop, precond, state, tol, maxiter, w)
+    return state
+
+
+def cg_solve_chain_df32(
+    fop,
+    b: TF,
+    preconditioner,
+    maxiter: int = 10000,
+    abstol: float = 1e-20,
+    reltol: float = 1e-4,
+    force_iterations: int | None = None,
+    use_weight: bool = False,
+    k0: int = 3,
+) -> CGResult:
+    """Double-single PCG as a host loop over CHUNKS of unrolled iterations
+    (see cg.cg_solve_chain: the axon while_loop pays a ~170 ms fixed cost
+    over the identical chain; the first k0 iterations are one dispatch)."""
+    if force_iterations is not None:
+        abstol_, reltol_, maxiter = 0.0, 0.0, force_iterations
+    else:
+        abstol_, reltol_ = abstol, reltol
+    k0 = max(1, min(k0, max(maxiter, 1)))
+    state, norm0, tol = _df32_chain_first(
+        fop, preconditioner, b, abstol_, reltol_, maxiter, k0, use_weight
+    )
+    it, res, tol_f = jax.device_get((state[4], state[5], tol))
+    it, res, tol_f = int(it), float(res), float(tol_f)
+    while res > tol_f and it < maxiter:
+        state = _df32_chain_more(
+            fop, preconditioner, state, tol, maxiter, 1, use_weight
+        )
+        it, res = jax.device_get((state[4], state[5]))
+        it, res = int(it), float(res)
+    return CGResult(
+        state[0],
+        jnp.asarray(it, jnp.int32),
+        jnp.asarray(res, jnp.float32),
+        jnp.asarray(res <= tol_f),
+        norm0,
+    )
 
 
 def cg_solve_host_df32(
@@ -290,7 +385,7 @@ def cg_solve_host_df32(
     depth-1 pipelined like cg.cg_solve_host: the next step is dispatched on
     the current step's output futures before its residual scalar is
     fetched, hiding the axon tunnel round-trip."""
-    r, z, rz, norm0 = _df32_host_init(fop, preconditioner, b, use_weight)
+    rz0, norm0 = _df32_host_init(fop, b, use_weight)
     if force_iterations is not None:
         tol = 0.0
         maxiter = force_iterations
@@ -304,14 +399,16 @@ def cg_solve_host_df32(
             jnp.asarray(res <= tol), norm0,
         )
     it = 0
-    step = _df32_host_step(fop, preconditioner, x, r, tf_from_f32(z), rz,
-                           use_weight)
+    step = _df32_host_step(
+        fop, preconditioner, x, TF(b.hi, b.lo), tf_zeros_like(b.hi), rz0,
+        0, use_weight,
+    )
     x_cur = x
     while res > tol and it < maxiter:
         nxt = (
             _df32_host_step(
                 fop, preconditioner, step[0], step[1], step[2], step[3],
-                use_weight,
+                it + 1, use_weight,
             )
             if it + 1 < maxiter
             else None

@@ -66,6 +66,19 @@ DEFAULT_POLICY: dict[str, str] = {
     # (17.8 -> 37.5 MDoF/s), 4 iterations both, vs HMG-global 0.143 s in
     # the same session — LS lands within 1.3x of GC
     "MGTPU_LS_ROWCOPY": "1",
+    # chunked-chain outer CG for GC solves: first-chunk length k0 (iterations
+    # unrolled in ONE program with the convergence test masked in; leftovers
+    # one per dispatch), "0"/"" = monolithic lax.while_loop.  Round-4c
+    # probe_cg_loop measured the while_loop paying ~170 ms FIXED over the
+    # identical chain at r=7/p=4 (chain t(3)=579 ms vs while t(3)=736 ms,
+    # same ~180 ms/iteration); the benchmark family converges in 3.
+    # TPU-measured with the deal.II CG ordering (2026-08-19 A/B): float
+    # 0.736 -> 0.614 s (71.6 -> 85.8 MDoF/s), df32 0.740 -> 0.582 s
+    # (71.1 -> 90.5), mixed 2.90 -> 2.75 s; 3 iterations everywhere,
+    # recomputed-residual guard clean.  Oversized k0 never changes results
+    # (masked steps), so the family-wide k0=3 is safe for configs that
+    # converge in fewer iterations and merely suboptimal for more.
+    "MGTPU_GC_CHAIN": "3",
     # dense-plane structured patch faces in tv mode (one blended strided-slab
     # update / one slab read per (d, side) per round, one-hot patch routing,
     # instead of element-priced flat face tables): TPU-measured at r=7/p=4
@@ -94,6 +107,27 @@ def kadapt_target() -> int:
         if plats.startswith("cpu"):
             return 0
         val = DEFAULT_POLICY.get("MGTPU_KADAPT", "0")
+    val = val.strip()
+    return int(val) if val else 0
+
+
+def gc_chain_k() -> int:
+    """Chunked-chain outer-CG first-chunk length (0 = while_loop).
+
+    MGTPU_GC_CHAIN env overrides everywhere; unset falls back to
+    DEFAULT_POLICY on non-CPU platforms only (the fixed while_loop cost is
+    an axon-TPU artifact; the CPU test suite keeps the one-program path)."""
+    val = os.environ.get("MGTPU_GC_CHAIN")
+    if val is None:
+        import jax
+
+        try:
+            plats = jax.config.jax_platforms or ""
+        except Exception:  # pragma: no cover - config field unavailable
+            plats = ""
+        if plats.startswith("cpu"):
+            return 0
+        val = DEFAULT_POLICY.get("MGTPU_GC_CHAIN", "0")
     val = val.strip()
     return int(val) if val else 0
 

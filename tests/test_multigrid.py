@@ -294,6 +294,89 @@ def test_cg_solve_host_matches_while_loop():
     assert np.allclose(np.asarray(r1.x), np.asarray(r2.x), rtol=1e-12, atol=1e-13)
 
 
+def test_cg_solve_chain_matches_while_loop():
+    """cg_solve_chain (chunked unrolled iterations, one program per chunk —
+    the round-4c while_loop fixed-cost fix, api.mg_solve chain=) produces
+    identical iterates and iteration counts to cg_solve for every chunking:
+    k0 < n_it (leftover single-step dispatches), k0 == n_it (one dispatch),
+    and k0 > n_it (past-convergence steps masked out), plus the
+    force_iterations parameter-study mode."""
+    from dealii_multigrid_tpu.mesh import generators as G
+    from dealii_multigrid_tpu.models import poisson
+    from dealii_multigrid_tpu.solvers.cg import cg_solve, cg_solve_chain
+    from dealii_multigrid_tpu.solvers.local_smoothing import (
+        build_local_smoothing_mg_hybrid,
+    )
+    from dealii_multigrid_tpu.utils.params import MultigridParameters
+    from dealii_multigrid_tpu import api as A
+
+    mesh = G.create_quadrant(3, 3)
+    fine = A.build_level_hybrid(mesh, 2, jnp.float64)
+    gop = __import__(
+        "dealii_multigrid_tpu.ops.operator", fromlist=["make_operator"]
+    ).make_operator(fine.dofh, fine.hanging, dtype=jnp.float64)
+    prob = poisson.make_problem(fine.dofh, fine.hanging, gop, "Constant")
+    b = jnp.asarray(fine.fmt.from_global(np.asarray(prob.rhs)))
+    mg_data = MultigridParameters()
+    lsh = build_local_smoothing_mg_hybrid(
+        fine.dofh, fine.fmt, mg_data, dtype=jnp.float64
+    )
+    precond = A.PreconditionLS(lsh, fine.op.constrained_keep, jnp.float64)
+    r1 = cg_solve(
+        fine.op.vmult, b, preconditioner=precond.vmult,
+        maxiter=50, reltol=1e-8, dot=fine.op.dot,
+    )
+    n_it = int(r1.n_iterations)
+    assert n_it >= 2  # the k0 < n_it case below must exercise leftovers
+    for k0 in (1, n_it, n_it + 3):
+        r2 = cg_solve_chain(
+            fine.op, b, preconditioner=precond,
+            maxiter=50, reltol=1e-8, use_op_dot=True, k0=k0,
+        )
+        assert int(r2.n_iterations) == n_it, k0
+        assert bool(r2.converged)
+        assert np.allclose(
+            np.asarray(r1.x), np.asarray(r2.x), rtol=1e-12, atol=1e-13
+        ), k0
+    # parameter-study mode: exactly N iterations regardless of tolerance
+    rf1 = cg_solve(
+        fine.op.vmult, b, preconditioner=precond.vmult,
+        force_iterations=4, dot=fine.op.dot,
+    )
+    rf2 = cg_solve_chain(
+        fine.op, b, preconditioner=precond,
+        force_iterations=4, use_op_dot=True, k0=3,
+    )
+    assert int(rf1.n_iterations) == int(rf2.n_iterations) == 4
+    assert np.allclose(
+        np.asarray(rf1.x), np.asarray(rf2.x), rtol=1e-12, atol=1e-13
+    )
+
+
+def test_gc_chain_env_solve_matches_default():
+    """MGTPU_GC_CHAIN=k drives the full GC solve through the chunked-chain
+    CG: same iterations and solution as the production while_loop path."""
+    from dealii_multigrid_tpu.mesh import generators as G
+    import os
+
+    prm = _params("HMG-global", 3, p=2)
+    mesh = G.create_quadrant(3, 3)
+    res0, _, _ = api.solve_with_global_coarsening_hybrid(prm, mesh)
+    old = os.environ.get("MGTPU_GC_CHAIN")
+    os.environ["MGTPU_GC_CHAIN"] = "2"
+    try:
+        res1, _, _ = api.solve_with_global_coarsening_hybrid(prm, mesh)
+    finally:
+        if old is None:
+            del os.environ["MGTPU_GC_CHAIN"]
+        else:
+            os.environ["MGTPU_GC_CHAIN"] = old
+    assert res1.converged and res1.n_iterations == res0.n_iterations
+    assert np.allclose(
+        np.asarray(res1.x), np.asarray(res0.x), rtol=1e-6, atol=1e-8
+    )
+
+
 def test_eig_host_loop_matches_batched():
     """estimate_eigenvalue_ranges host-loop mode (one jitted CG step per
     iteration — the remote-compile workaround) reproduces the one-program

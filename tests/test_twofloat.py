@@ -268,6 +268,43 @@ def test_df32_host_loop_matches_while_loop():
     assert np.linalg.norm(xa - xb) / np.linalg.norm(xb) < 1e-5
 
 
+def test_df32_chain_matches_while_loop():
+    """The chunked-chain df32 CG (round-4c while_loop fixed-cost fix) must
+    match the while_loop df32 CG: identical iteration count, same solution,
+    across k0 below/at/above the iteration count."""
+    from dealii_multigrid_tpu import api
+    from dealii_multigrid_tpu.mesh import generators as G
+    from dealii_multigrid_tpu.models import poisson
+    from dealii_multigrid_tpu.ops import hybrid as hy
+    from dealii_multigrid_tpu.ops.operator import make_operator
+    from dealii_multigrid_tpu.solvers.multigrid import PreconditionMG
+
+    prm = _params("HMG-global", 3, number="df32")
+    res, prob, levels = api.solve_with_global_coarsening_hybrid(
+        prm, G.create("quadrant", 3, prm.n_ref_global, prm.n_ref_local)
+    )
+    fine = levels[-1]
+    rhs_op = hy.make_hybrid_operator(fine.fmt, fine.hanging, dtype=jnp.float64)
+    gop = make_operator(fine.dofh, fine.hanging, dtype=jnp.float64, device=False)
+    _, rhs64 = poisson.assemble_problem_hybrid(
+        fine.dofh, fine.hanging, rhs_op, hy.cell_slot_table(fine.fmt),
+        fine.fmt, gop, prm.simulation_type,
+    )
+    b = tf.tf_split_f64_host(np.asarray(rhs64, np.float64))
+    precond = PreconditionMG(res.mg, jnp.float32)
+    xb = np.asarray(res.x, np.float64)
+    for k0 in (1, max(res.n_iterations, 1), res.n_iterations + 2):
+        res_ch = api.mg_solve(
+            fine.op, b, precond, prm.mg_data, n_levels=res.n_levels,
+            dot=True, n_dofs=fine.dofh.n_dofs, df32=True, chain=k0,
+            warmup=False,
+        )
+        assert res_ch.converged, k0
+        assert res_ch.n_iterations == res.n_iterations, k0
+        xa = np.asarray(fine.to_global(res_ch.x), np.float64)
+        assert np.linalg.norm(xa - xb) / np.linalg.norm(xb) < 1e-6, k0
+
+
 def test_sharded_df32_matches_single_device():
     """NumberType=df32 under an 8-device mesh: the double-single pair is
     sharded leaf-wise and the ownership-masked compensated dots must keep
