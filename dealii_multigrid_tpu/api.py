@@ -33,7 +33,7 @@ from .solvers.cg import cg_solve
 from .solvers.chebyshev import ChebyshevSmoother, estimate_eigenvalue_ranges
 from .solvers.coarse import make_coarse_solver
 from .solvers.multigrid import Multigrid, PreconditionMG
-from .utils.flags import gc_chain_k as _gc_chain_k
+from .utils.flags import gc_chain_k as _gc_chain_k, ls_chain_k as _ls_chain_k
 from .utils.params import MultigridParameters, RunParameters
 from .utils.device import to_device
 
@@ -1166,15 +1166,25 @@ def solve_with_local_smoothing_hybrid(
         n_levels=n_levels,
         dot=True,
         n_dofs=fine.dofh.n_dofs,
-        # one jitted PCG step per iteration on accelerator backends: the
-        # monolithic while_loop program miscompiles the LS V-cycle on the
-        # axon TPU backend at production sizes (see mg_solve docstring).
-        # MGTPU_LS_MONOLITHIC=1 retries the monolithic program — safe to
-        # attempt because the floor-aware recomputed-residual guard raises
-        # on any miscompiled solve instead of returning it.
+        # the monolithic while_loop program miscompiles the LS V-cycle on
+        # the axon TPU backend at production sizes (see mg_solve
+        # docstring), but the chunked unrolled MASKED chain is a different
+        # program shape and compiles correctly (TPU-measured, guard clean;
+        # flags.py MGTPU_LS_CHAIN) — it replaces the one-jitted-step-per-
+        # iteration host loop, shedding ~35 ms/iteration tunnel dispatch
+        # (r=6/p=4: 37.6 -> 51.9 MDoF/s).  MGTPU_LS_CHAIN=0 falls back to
+        # the host loop on accelerators; MGTPU_LS_MONOLITHIC=1 retries the
+        # while_loop.  All attempts are safe: the floor-aware recomputed-
+        # residual guard raises on any miscompiled solve.
         host_loop=(
             jax.default_backend() != "cpu"
             and os.environ.get("MGTPU_LS_MONOLITHIC", "") != "1"
+            and not _ls_chain_k()
+        ),
+        chain=(
+            0
+            if os.environ.get("MGTPU_LS_MONOLITHIC", "") == "1"
+            else _ls_chain_k()
         ),
         df32=df32,
     )

@@ -79,6 +79,15 @@ DEFAULT_POLICY: dict[str, str] = {
     # (masked steps), so the family-wide k0=3 is safe for configs that
     # converge in fewer iterations and merely suboptimal for more.
     "MGTPU_GC_CHAIN": "3",
+    # chunked-chain CG for the LS (HMG-local/HPMG-local) outer solve: the
+    # masked unrolled chain is a DIFFERENT program shape from the
+    # while_loop whose LS V-cycle miscompile forced the host-loop
+    # workaround — and it compiles correctly (recomputed-residual guard
+    # clean on chip).  Same-session A/B at quadrant r=6/p=4 (2026-08-19):
+    # host-loop 0.1839 s / 37.6 MDoF/s -> chain 0.1334 s / 51.9 MDoF/s,
+    # 3 iterations both — the LS/GC gap closes to ~1x.  "0" falls back to
+    # the host loop on accelerators (never the while_loop).
+    "MGTPU_LS_CHAIN": "4",
     # dense-plane structured patch faces in tv mode (one blended strided-slab
     # update / one slab read per (d, side) per round, one-hot patch routing,
     # instead of element-priced flat face tables): TPU-measured at r=7/p=4
@@ -111,13 +120,14 @@ def kadapt_target() -> int:
     return int(val) if val else 0
 
 
-def gc_chain_k() -> int:
-    """Chunked-chain outer-CG first-chunk length (0 = while_loop).
+def _chain_k(env_name: str) -> int:
+    """Chunked-chain outer-CG first-chunk length (0 = construct default).
 
-    MGTPU_GC_CHAIN env overrides everywhere; unset falls back to
-    DEFAULT_POLICY on non-CPU platforms only (the fixed while_loop cost is
-    an axon-TPU artifact; the CPU test suite keeps the one-program path)."""
-    val = os.environ.get("MGTPU_GC_CHAIN")
+    The env var overrides everywhere; unset falls back to DEFAULT_POLICY
+    on non-CPU platforms only (the fixed while_loop cost and the LS
+    host-loop dispatch tax are axon-TPU artifacts; the CPU test suite
+    keeps the one-program paths)."""
+    val = os.environ.get(env_name)
     if val is None:
         import jax
 
@@ -127,9 +137,17 @@ def gc_chain_k() -> int:
             plats = ""
         if plats.startswith("cpu"):
             return 0
-        val = DEFAULT_POLICY.get("MGTPU_GC_CHAIN", "0")
+        val = DEFAULT_POLICY.get(env_name, "0")
     val = val.strip()
     return int(val) if val else 0
+
+
+def gc_chain_k() -> int:
+    return _chain_k("MGTPU_GC_CHAIN")
+
+
+def ls_chain_k() -> int:
+    return _chain_k("MGTPU_LS_CHAIN")
 
 
 def variant_flag(env_name: str, **dims) -> bool:

@@ -377,6 +377,32 @@ def test_gc_chain_env_solve_matches_default():
     )
 
 
+def test_ls_chain_env_solve_matches_default():
+    """MGTPU_LS_CHAIN=k drives the HMG-local solve through the chunked-chain
+    CG (the on-device alternative to the host-loop miscompile workaround —
+    the guard raises if the program shape miscompiles): same iterations and
+    solution as the default path."""
+    from dealii_multigrid_tpu.mesh import generators as G
+    import os
+
+    prm = _params("HMG-local", 3, p=2)
+    mesh = G.create_quadrant(3, 3)
+    res0, _, _ = api.solve_with_local_smoothing_hybrid(prm, mesh)
+    old = os.environ.get("MGTPU_LS_CHAIN")
+    os.environ["MGTPU_LS_CHAIN"] = "2"
+    try:
+        res1, _, _ = api.solve_with_local_smoothing_hybrid(prm, mesh)
+    finally:
+        if old is None:
+            del os.environ["MGTPU_LS_CHAIN"]
+        else:
+            os.environ["MGTPU_LS_CHAIN"] = old
+    assert res1.converged and res1.n_iterations == res0.n_iterations
+    assert np.allclose(
+        np.asarray(res1.x), np.asarray(res0.x), rtol=1e-6, atol=1e-8
+    )
+
+
 def test_eig_host_loop_matches_batched():
     """estimate_eigenvalue_ranges host-loop mode (one jitted CG step per
     iteration — the remote-compile workaround) reproduces the one-program
