@@ -335,6 +335,91 @@ def pack_buckets(up, us, D: int):
     ).reshape(-1)
 
 
+@dataclass(frozen=True)
+class TVec:
+    """Split T-space state (round-4h): the patch bucket as a flat
+    ``[NP*S^3]`` vector in patch-minor layout (slot (pi, lidx) at
+    ``lidx*NP + pi``) plus the singleton tail ``[n_slots - NP*S^3]``,
+    carried as TWO leaves through the whole transposed vmult pipeline.
+
+    Why: every stage of the flat-T pipeline paid volume-sized repacks —
+    ``.at[].set/add`` on the 78 MB fused vector costs a full copy
+    (~0.39 ms at r=7/p=4) even when the update moves 100k elements, and
+    each stage's internal split/concat pair costs two more volume
+    traversals.  The census (scripts/census_rounds.py) shows EVERY
+    element-priced constraint table at bench shapes lives in the 4 MB
+    singleton tail, so keeping the buckets separate makes those scatters
+    tail-sized and deletes the repacks.  Elementwise arithmetic is
+    overloaded leafwise so the Chebyshev recurrence runs directly on the
+    split state."""
+
+    head: jax.Array
+    tail: jax.Array
+
+    def _bin(self, o, f):
+        if isinstance(o, TVec):
+            return TVec(f(self.head, o.head), f(self.tail, o.tail))
+        return TVec(f(self.head, o), f(self.tail, o))
+
+    def __add__(self, o):
+        return self._bin(o, lambda a, b: a + b)
+
+    __radd__ = __add__
+
+    def __sub__(self, o):
+        return self._bin(o, lambda a, b: a - b)
+
+    def __rsub__(self, o):
+        return self._bin(o, lambda a, b: b - a)
+
+    def __mul__(self, o):
+        return self._bin(o, lambda a, b: a * b)
+
+    __rmul__ = __mul__
+
+    def __truediv__(self, o):
+        return self._bin(o, lambda a, b: a / b)
+
+    def __neg__(self):
+        return TVec(-self.head, -self.tail)
+
+    @property
+    def dtype(self):
+        return self.head.dtype if self.head.size else self.tail.dtype
+
+
+jax.tree_util.register_dataclass(TVec, data_fields=["head", "tail"], meta_fields=[])
+
+
+def _split_gather(sp, h: jax.Array, t: jax.Array, shape) -> jax.Array:
+    """Gather a host-split slot table from the (head, tail) pieces.
+    ``sp = (hidx, hpos, tidx, tpos)``: flat indices into each piece plus
+    the positions they occupy in the original table (partition of
+    ``range(n)``).  One-sided tables skip the reassembly buffer."""
+    hidx, hpos, tidx, tpos = sp
+    if hidx.shape[0] == 0:
+        return t[tidx].reshape(shape)
+    if tidx.shape[0] == 0:
+        return h[hidx].reshape(shape)
+    buf = jnp.zeros(hidx.shape[0] + tidx.shape[0], t.dtype)
+    buf = buf.at[hpos].set(h[hidx]).at[tpos].set(t[tidx])
+    return buf.reshape(shape)
+
+
+def _split_parts(sp, vals: jax.Array):
+    """(head_idx, head_vals, tail_idx, tail_vals) update lists for a
+    host-split scatter table — callers combine per-side parts across
+    tables and issue ONE .at per side per round."""
+    hidx, hpos, tidx, tpos = sp
+    v = vals.reshape(-1)
+    out = []
+    if hidx.shape[0]:
+        out.append(("h", hidx, v[hpos] if tidx.shape[0] else v))
+    if tidx.shape[0]:
+        out.append(("t", tidx, v[tpos] if hidx.shape[0] else v))
+    return out
+
+
 def _find_patches(mesh: AdaptiveMesh, K: int):
     """Complete aligned K^3 same-level blocks; returns (level, block, cells
     [NP, K^3] x-fastest block-local order, covered_mask)."""
@@ -1457,7 +1542,289 @@ class HybridOperator:
         return rt * ck + xt * (1.0 - ck)
 
     def _vmult_t(self, x: jax.Array) -> jax.Array:
+        if "split" in self.tv:
+            return self._from_ts(self._vmult_ts_core(self._to_ts(x)))
         return self._from_t(self._vmult_t_core(self._to_t(x)))
+
+    # --------------------------------------- split-state (TVec) pipeline
+    # The tv pipeline with the patch/singleton buckets carried as separate
+    # leaves (TVec): no volume-sized fused vector ever exists between the
+    # entry and exit transposes, so constraint scatters cost the bucket
+    # they live in (tail-sized at bench shapes) and the per-stage
+    # split/concat repacks vanish.  Algebra identical to the _t stages.
+    def _to_ts(self, x: jax.Array) -> TVec:
+        ps = self.patch_slots
+        if not ps:
+            return TVec(x[:0], x)
+        head = x[:ps].reshape(self.NP, -1).T.reshape(-1)
+        return TVec(head, x[ps:])
+
+    def _from_ts(self, v: TVec) -> jax.Array:
+        ps = self.patch_slots
+        if not ps:
+            return v.tail
+        head = v.head.reshape(-1, self.NP).T.reshape(-1)
+        if v.tail.shape[0] == 0:
+            return head
+        return jnp.concatenate([head, v.tail])
+
+    def _ts_scatter(self, h, t, hparts, tparts, add: bool):
+        if hparts:
+            idx = hparts[0][0] if len(hparts) == 1 else jnp.concatenate(
+                [i for i, _ in hparts])
+            val = hparts[0][1] if len(hparts) == 1 else jnp.concatenate(
+                [v for _, v in hparts])
+            h = h.at[idx].add(val) if add else h.at[idx].set(val)
+        if tparts:
+            idx = tparts[0][0] if len(tparts) == 1 else jnp.concatenate(
+                [i for i, _ in tparts])
+            val = tparts[0][1] if len(tparts) == 1 else jnp.concatenate(
+                [v for _, v in tparts])
+            t = t.at[idx].add(val) if add else t.at[idx].set(val)
+        return h, t
+
+    def _apply_c_ts(self, v: TVec) -> TVec:
+        sp = self.tv["split"]
+        h = v.head * sp["dk_h"]
+        t = v.tail * sp["dk_t"]
+        if self.slave_rep.shape[0]:
+            sv = _split_gather(sp["sms"], h, t, self.slave_master_slots.shape)
+            vals = (self.slave_w * sv).sum(-1)
+            per = vals[self.slave_all_src].astype(t.dtype)
+            hp, tp = [], []
+            for side, idx, vv in _split_parts(sp["sas"], per):
+                (hp if side == "h" else tp).append((idx, vv))
+            h, t = self._ts_scatter(h, t, hp, tp, add=False)
+        if self.sf_levels:
+            E1 = self.sf_E1.astype(t.dtype)
+            rounds = self.sf_c_rounds or tuple(
+                (i,) for i in range(len(self.sf_levels))
+            )
+            dense = self.tv.get("sfp_dense")
+            S, NP = self.S, self.NP
+            for rnd in rounds:
+                hp, tp = [], []
+                routed: dict = {}
+                covers: dict = {}
+                for i in rnd:
+                    if sp["sfp"][i] is not None:
+                        fsp, ssp = sp["sfp"][i]
+                        sv = _split_gather(
+                            ssp, h, t, self.sf_patch[i][1].shape
+                        )
+                        plane = jnp.einsum(
+                            "nsj,is->nij",
+                            jnp.einsum("nst,jt->nsj", sv, E1,
+                                       precision=HIGHEST),
+                            E1, precision=HIGHEST,
+                        )
+                        if dense is not None and dense[i] is not None:
+                            off = 0
+                            for (hot, cover), (d, side, n) in zip(
+                                dense[i], self.sf_patch_rows_meta[i]
+                            ):
+                                pg = plane[off : off + n]
+                                off += n
+                                term = jnp.tensordot(
+                                    pg, hot.astype(t.dtype),
+                                    axes=([0], [0]), precision=HIGHEST,
+                                )
+                                key = (d, side)
+                                if key in routed:
+                                    routed[key] = routed[key] + term
+                                    covers[key] = covers[key] + cover
+                                else:
+                                    routed[key] = term
+                                    covers[key] = cover
+                        else:
+                            for side_, idx, vv in _split_parts(fsp, plane):
+                                (hp if side_ == "h" else tp).append((idx, vv))
+                    if sp["sfs"][i] is not None:
+                        fsp, ssp = sp["sfs"][i]
+                        _f, _s, _m, pa, pb = self.sf_single[i]
+                        Ea = self.sf_Eh[pa].astype(t.dtype)
+                        Eb = self.sf_Eh[pb].astype(t.dtype)
+                        sv = _split_gather(ssp, h, t, _s.shape)
+                        tmp = jnp.einsum(
+                            "nmk,njk->nmj", sv, Eb, precision=HIGHEST
+                        )
+                        plane = jnp.einsum(
+                            "nmj,nim->nij", tmp, Ea, precision=HIGHEST
+                        )
+                        for side_, idx, vv in _split_parts(fsp, plane):
+                            (hp if side_ == "h" else tp).append((idx, vv))
+                h, t = self._ts_scatter(h, t, hp, tp, add=False)
+                if routed:
+                    ut = h.reshape(S, S, S, NP)
+                    for (d, side), term in routed.items():
+                        cov = jnp.minimum(covers[(d, side)], 1.0).astype(
+                            t.dtype
+                        )
+                        sl = tuple(
+                            ((S - 1) if side else 0) if a == d else slice(None)
+                            for a in range(3)
+                        )
+                        ut = ut.at[sl].set(ut[sl] * (1.0 - cov) + term)
+                    h = ut.reshape(-1)
+            h = h * sp["dk_h"]
+            t = t * sp["dk_t"]
+        return TVec(h, t)
+
+    def _cell_apply_raw_ts(self, v: TVec) -> TVec:
+        h, t = v.head, v.tail
+        if self.NP:
+            S, NP = self.S, self.NP
+            ut = h.reshape(S, S, S, NP)
+
+            def axl(u, mat, axis):
+                return jnp.moveaxis(
+                    jnp.tensordot(mat, u, axes=([1], [axis]),
+                                  precision=HIGHEST),
+                    0, axis,
+                )
+
+            KS, MS = self.KS, self.MS
+            kx = axl(axl(axl(ut, KS, 0), MS, 1), MS, 2)
+            ky = axl(axl(axl(ut, MS, 0), KS, 1), MS, 2)
+            kz = axl(axl(axl(ut, MS, 0), MS, 1), KS, 2)
+            h = ((kx + ky + kz) * self.pscale[None, None, None, :]).reshape(-1)
+        if self.NS:
+            xs = t.reshape(self.NS, self.nloc)
+            t = (jnp.matmul(xs, self.elem, precision=HIGHEST)
+                 * self.sscale[:, None]).reshape(-1)
+        return TVec(h, t)
+
+    def _ct_faces_ts(self, v: TVec) -> TVec:
+        sp = self.tv["split"]
+        h, t = v.head, v.tail
+        if not self.sf_levels:
+            return TVec(h * sp["sfk_h"], t * sp["sfk_t"])
+        E1 = self.sf_E1.astype(t.dtype)
+        rounds = self.sf_ct_rounds or tuple(
+            (i,) for i in range(len(self.sf_levels) - 1, -1, -1)
+        )
+        dense = self.tv.get("sfp_dense")
+        for rnd in rounds:
+            hp, tp = [], []
+            for i in rnd:
+                if sp["sfp"][i] is not None:
+                    fsp, ssp = sp["sfp"][i]
+                    mask = self.sf_patch[i][2]
+                    if dense is not None and dense[i] is not None:
+                        S_, NP = self.S, self.NP
+                        ut = h.reshape(S_, S_, S_, NP)
+                        parts = []
+                        for (hot, _cov), (d, side, n) in zip(
+                            dense[i], self.sf_patch_rows_meta[i]
+                        ):
+                            sl = tuple(
+                                ((S_ - 1) if side else 0)
+                                if a == d
+                                else slice(None)
+                                for a in range(3)
+                            )
+                            parts.append(
+                                jnp.tensordot(
+                                    ut[sl], hot.astype(t.dtype),
+                                    axes=([2], [1]), precision=HIGHEST,
+                                ).transpose(2, 0, 1)
+                            )
+                        plane = jnp.concatenate(parts) * mask.astype(t.dtype)
+                    else:
+                        plane = _split_gather(
+                            fsp, h, t, self.sf_patch[i][0].shape
+                        ) * mask.astype(t.dtype)
+                    tmp = jnp.einsum("nij,is->nsj", plane, E1,
+                                     precision=HIGHEST)
+                    contrib = jnp.einsum("nsj,jt->nst", tmp, E1,
+                                         precision=HIGHEST)
+                    for side_, idx, vv in _split_parts(ssp, contrib):
+                        (hp if side_ == "h" else tp).append((idx, vv))
+                if sp["sfs"][i] is not None:
+                    fsp, ssp = sp["sfs"][i]
+                    _f, _s, mask, pa, pb = self.sf_single[i]
+                    Ea = self.sf_Eh[pa].astype(t.dtype)
+                    Eb = self.sf_Eh[pb].astype(t.dtype)
+                    plane = _split_gather(
+                        fsp, h, t, _f.shape
+                    ) * mask.astype(t.dtype)
+                    tmp = jnp.einsum("nij,nim->nmj", plane, Ea,
+                                     precision=HIGHEST)
+                    contrib = jnp.einsum("nmj,njk->nmk", tmp, Eb,
+                                         precision=HIGHEST)
+                    for side_, idx, vv in _split_parts(ssp, contrib):
+                        (hp if side_ == "h" else tp).append((idx, vv))
+            h, t = self._ts_scatter(h, t, hp, tp, add=True)
+        return TVec(h * sp["sfk_h"], t * sp["sfk_t"])
+
+    def _exchange_ts(self, v: TVec) -> TVec:
+        sp = self.tv["split"]
+        h, t = v.head, v.tail
+        sums = [
+            _split_gather(ssp, h, t, slots.shape).sum(-1)
+            for (ssp, _osp), (slots, _o, _g) in zip(sp["irr"],
+                                                    self.irr_buckets)
+        ]
+        if self.NP:
+            S, NP = self.S, self.NP
+            ut = h.reshape(S, S, S, NP)
+            if self.use_cross:
+                us = t.reshape(self.NS, self.nloc)
+                ut, us = self._exchange_cross_t_core(ut, us)
+                h, t = ut.reshape(-1), us.reshape(-1)
+            else:
+                h = self._psweeps_t(ut).reshape(-1)
+                if self.NS and self.use_ssweep:
+                    t = self._ssweep_rows(
+                        t.reshape(self.NS, self.nloc)
+                    ).reshape(-1)
+        elif self.NS and self.use_ssweep:
+            t = self._ssweep_rows(t.reshape(self.NS, self.nloc)).reshape(-1)
+        if sums:
+            hp, tp = [], []
+            for ((_ssp, osp), (_s, _o, g)), s in zip(
+                zip(sp["irr"], self.irr_buckets), sums
+            ):
+                for side_, idx, vv in _split_parts(
+                    osp, s[g].astype(t.dtype)
+                ):
+                    (hp if side_ == "h" else tp).append((idx, vv))
+            h, t = self._ts_scatter(h, t, hp, tp, add=False)
+        return TVec(h, t)
+
+    def _apply_ct_ts(self, v: TVec) -> TVec:
+        sp = self.tv["split"]
+        h, t = v.head, v.tail
+        if self.slave_rep.shape[0]:
+            vals = _split_gather(sp["srep"], h, t, self.slave_rep.shape)
+            h = h * sp["slk_h"]
+            t = t * sp["slk_t"]
+            contrib = (self.ct_w * vals[self.ct_src]).astype(t.dtype)
+            hp, tp = [], []
+            for side_, idx, vv in _split_parts(sp["ctt"], contrib):
+                (hp if side_ == "h" else tp).append((idx, vv))
+            h, t = self._ts_scatter(h, t, hp, tp, add=True)
+            if self.refresh_slots.shape[0]:
+                rvals = _split_gather(
+                    sp["rfr"], h, t, self.refresh_src.shape
+                )
+                hp, tp = [], []
+                for side_, idx, vv in _split_parts(sp["rfs"], rvals):
+                    (hp if side_ == "h" else tp).append((idx, vv))
+                h, t = self._ts_scatter(h, t, hp, tp, add=False)
+        return TVec(h * sp["dk_h"], t * sp["dk_t"])
+
+    def _vmult_ts_core(self, xt: TVec) -> TVec:
+        """Full vmult on the split T state (TVec in, TVec out) — the
+        smoother keeps its recurrence split so per-apply repacks vanish."""
+        sp = self.tv["split"]
+        yt = self._apply_c_ts(xt)
+        rt = self._cell_apply_raw_ts(yt)
+        rt = self._ct_faces_ts(rt)
+        rt = self._exchange_ts(rt)
+        rt = self._apply_ct_ts(rt)
+        ck = TVec(sp["ck_h"], sp["ck_t"])
+        return rt * ck + xt * (1.0 - ck)
 
     def _ssweep_rows(self, us: jax.Array) -> jax.Array:
         """Whole-row singleton face sweeps: per lattice axis, one block-row
@@ -2209,6 +2576,68 @@ def make_hybrid_operator(
                     )
                 dense.append(tuple(items))
             tv["sfp_dense"] = tuple(dense)
+        if variant_flag("MGTPU_TSPLIT", np=fmt.n_patches, ns=fmt.n_singles):
+            # split-state (TVec) pipeline tables: every slot table split
+            # into (head, tail) halves at the patch/singleton boundary so
+            # scatters hit the bucket they live in (census_rounds.py: ALL
+            # element-priced constraint tables at bench shapes are tail-
+            # resident — the tail is 4 MB vs the 78 MB fused volume) and
+            # the stage-boundary split/concat repacks disappear.
+            _e32 = to_device(np.zeros(0, np.int64), jnp.int32)
+
+            def stab(t):
+                flat = perm[np.asarray(t, np.int64).reshape(-1)]
+                is_h = flat < ps_
+                hsel = np.nonzero(is_h)[0]
+                tsel = np.nonzero(~is_h)[0]
+                if len(hsel) == 0:
+                    return (_e32, _e32, to_device(flat - ps_, jnp.int32), _e32)
+                if len(tsel) == 0:
+                    return (to_device(flat, jnp.int32), _e32, _e32, _e32)
+                return (
+                    to_device(flat[hsel], jnp.int32),
+                    to_device(hsel, jnp.int32),
+                    to_device(flat[tsel] - ps_, jnp.int32),
+                    to_device(tsel, jnp.int32),
+                )
+
+            def pvs(v):
+                out = np.empty_like(np.asarray(v))
+                out[perm[:-1]] = v
+                return to_device(out[:ps_], dtype), to_device(out[ps_:], dtype)
+
+            dk_h, dk_t = pvs(dirichlet_keep)
+            slk_h, slk_t = pvs(slave_keep)
+            sfk_h, sfk_t = pvs(sf_slave_keep)
+            ck_h, ck_t = pvs(constrained_keep)
+            tv["split"] = {
+                "dk_h": dk_h, "dk_t": dk_t,
+                "slk_h": slk_h, "slk_t": slk_t,
+                "sfk_h": sfk_h, "sfk_t": sfk_t,
+                "ck_h": ck_h, "ck_t": ck_t,
+                "sms": stab(
+                    master_rep if master_rep.size else np.zeros((0, Kc), np.int64)
+                ),
+                "sas": stab(sl_flat),
+                "srep": stab(
+                    fmt.rep_slot[hang.slave]
+                    if len(hang.slave) else np.zeros(0, np.int64)
+                ),
+                "ctt": stab(ct_target),
+                "rfs": stab(refresh_slots),
+                "rfr": stab(refresh_src),
+                "irr": tuple(
+                    (stab(a), stab(b)) for a, b, _c in irr_np
+                ),
+                "sfp": tuple(
+                    None if t is None else (stab(t[0]), stab(t[1]))
+                    for t in sf_patch_np
+                ),
+                "sfs": tuple(
+                    None if t is None else (stab(t[0]), stab(t[1]))
+                    for t in sf_single_np
+                ),
+            }
 
     return HybridOperator(
         KS=to_device(KS, dtype),

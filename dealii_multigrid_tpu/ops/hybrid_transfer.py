@@ -185,7 +185,9 @@ class HybridTransfer:
     def prolong(self, uc: jax.Array) -> jax.Array:
         if not self.ls_mode:
             cop = self.coarse_op
-            if cop.tv is not None:
+            if cop.tv is not None and "split" in cop.tv:
+                uc = cop._from_ts(cop._apply_c_ts(cop._to_ts(uc)))
+            elif cop.tv is not None:
                 # run C through the lane-dense transposed pipeline (one
                 # transpose each way beats the padded-lattice passes)
                 uc = cop._from_t(cop._apply_c_t(cop._to_t(uc)))
@@ -374,6 +376,13 @@ class HybridTransfer:
                     v = jnp.matmul(rs[sidx], M.astype(dtype), precision=HIGHEST)
                     acc_s = acc_s.at[crow].add(v)
                 acc = cop._with_singles(acc, acc_s)
+        if cop.tv is not None and "split" in cop.tv:
+            acc_t = cop._to_ts(acc)
+            if self.ls_mode:
+                return cop._from_ts(cop._exchange_ts(acc_t))
+            acc_t = cop._ct_faces_ts(acc_t)
+            acc_t = cop._exchange_ts(acc_t)
+            return cop._from_ts(cop._apply_ct_ts(acc_t))
         if cop.tv is not None:
             acc_t = cop._to_t(acc)
             if self.ls_mode:

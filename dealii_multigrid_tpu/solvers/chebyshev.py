@@ -375,17 +375,29 @@ class ChebyshevSmoother:
         delta = 0.5 * (max_eigenvalue - min_eigenvalue)
         inv_diag_t = None
         if getattr(op, "tv", None) is not None:
-            from ..ops.hybrid import tv_permute_host
+            from ..ops.hybrid import TVec, tv_permute_host
 
             host = np.asarray(inv_diag)
-            inv_diag_t = jnp.asarray(tv_permute_host(op, host), inv_diag.dtype)
+            perm = jnp.asarray(tv_permute_host(op, host), inv_diag.dtype)
+            if "split" in op.tv:
+                ps = op.patch_slots
+                inv_diag_t = TVec(perm[:ps], perm[ps:])
+            else:
+                inv_diag_t = perm
         return cls(op, inv_diag, degree, float(theta), float(delta), inv_diag_t)
 
     def _tv(self):
-        """(vmult, to_t, from_t, inv_diag) — T-space when available."""
+        """(vmult, to_t, from_t, inv_diag) — T-space when available (split
+        TVec state when the operator carries split tables)."""
         op = self.op
         if self.inv_diag_t is not None and getattr(op, "tv", None) is not None:
-            return op._vmult_t_core, op._to_t, op._from_t, self.inv_diag_t
+            from ..ops.hybrid import TVec
+
+            if isinstance(self.inv_diag_t, TVec) and "split" in op.tv:
+                return (op._vmult_ts_core, op._to_ts, op._from_ts,
+                        self.inv_diag_t)
+            if not isinstance(self.inv_diag_t, TVec):
+                return op._vmult_t_core, op._to_t, op._from_t, self.inv_diag_t
         ident = lambda v: v
         return op.vmult, ident, ident, self.inv_diag
 

@@ -95,6 +95,14 @@ DEFAULT_POLICY: dict[str, str] = {
     # 2026-08-18) — the win is XLA fusing the slab ops into the pipeline,
     # not the isolated stage times
     "MGTPU_TCFACES": "1",
+    # split-state (TVec) transposed vmult: the patch and singleton buckets
+    # ride the whole pipeline as separate leaves — constraint scatters cost
+    # the bucket they live in (census_rounds.py: every element-priced table
+    # at bench shapes is tail-resident, 4 MB vs the 78 MB fused volume) and
+    # the per-stage split/concat repacks vanish.  Staged pending the TPU
+    # A/B (scripts/profile_tsplit.py); algebra exactness-tested vs the flat
+    # tv pipeline in CI.  Flipped to "1" by measurement only.
+    "MGTPU_TSPLIT": "",
 }
 
 

@@ -1,0 +1,116 @@
+"""Split-state (TVec) pipeline A/B at bench scale: L7/L6 vmult and
+Chebyshev smoother step, flat-T vs split, same build (the split tables are
+stripped with dataclasses.replace for the baseline — apples-to-apples).
+
+Decision input for MGTPU_TSPLIT in DEFAULT_POLICY (census_rounds.py shows
+every element-priced constraint table at r=7/p=4 is tail-resident, so the
+volume-sized scatters and stage repacks of the flat pipeline are pure tax).
+
+Usage: PYTHONPATH=/root/repo:$PYTHONPATH python scripts/profile_tsplit.py [r] [p]
+"""
+
+import dataclasses
+import os
+import sys
+import time
+
+os.environ.setdefault("MGTPU_TV", "1")
+os.environ.setdefault("MGTPU_TCFACES", "1")
+os.environ.setdefault("MGTPU_TSPLIT", "1")
+
+if os.environ.get("MGTPU_PLATFORM"):  # CPU smoke-testing
+    import jax as _jax_platform_shim
+
+    _jax_platform_shim.config.update(
+        "jax_platforms", os.environ["MGTPU_PLATFORM"]
+    )
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _timed_call(run, *args):
+    t0 = time.perf_counter()
+    r = run(*args)
+    float(jnp.asarray(jax.tree.leaves(r)[0]).ravel()[0])
+    return time.perf_counter() - t0
+
+
+def timeit_looped(f, o, v, n_loop=8, reps=2):
+    def make(n):
+        @jax.jit
+        def run(o, v):
+            out0 = f(o, v)
+
+            def body(k, acc):
+                s = acc.ravel()[0].astype(jnp.float32)
+                vv = v * (1 + 1e-30 * s.astype(v.dtype))
+                return acc + f(o, vv)
+
+            return jax.lax.fori_loop(0, n, body, jnp.zeros_like(out0))
+
+        return run
+
+    r1, r2 = make(n_loop), make(2 * n_loop)
+    r1(o, v), r2(o, v)
+    t1 = min(_timed_call(r1, o, v) for _ in range(reps))
+    t2 = min(_timed_call(r2, o, v) for _ in range(reps))
+    return (t2 - t1) / n_loop
+
+
+def main():
+    r = int(sys.argv[1]) if len(sys.argv) > 1 else 7
+    p = int(sys.argv[2]) if len(sys.argv) > 2 else 4
+
+    from dealii_multigrid_tpu import api
+    from dealii_multigrid_tpu.mesh import generators
+    from dealii_multigrid_tpu.mesh.coarsening import geometric_coarsening_sequence
+    from dealii_multigrid_tpu.solvers.chebyshev import ChebyshevSmoother
+
+    t0 = time.time()
+    mesh = generators.create("quadrant", 3, r, 0)
+    tri_seq = geometric_coarsening_sequence(mesh)
+    plan = api.gc_level_plan("HMG-global", tri_seq, p)
+    ks = api.choose_level_ks(plan)  # honors MGTPU_KADAPT
+    levels = {}
+    for li in (len(plan) - 1, len(plan) - 2):
+        m, d = plan[li]
+        levels[li] = api.build_level_hybrid(m, d, jnp.float32, K=ks[li])
+    print(f"setup {time.time()-t0:.1f}s", flush=True)
+
+    rng = np.random.default_rng(0)
+    for li in sorted(levels, reverse=True):
+        lv = levels[li]
+        op = lv.op
+        assert op.tv is not None and "split" in op.tv, f"L{li}: split missing"
+        flat = dataclasses.replace(
+            op, tv={k: v for k, v in op.tv.items() if k != "split"}
+        )
+        x = jnp.asarray(rng.standard_normal(op.n_slots), jnp.float32)
+        print(
+            f"--- L{li}: slots={op.n_slots} NP={op.NP} NS={op.NS} "
+            f"S={op.S} cross={op.use_cross}", flush=True,
+        )
+        for name, vop in (("flat", flat), ("split", op)):
+            t = timeit_looped(lambda o, v: o.vmult(v), vop, x)
+            print(f"  vmult[{name:5s}]    {t*1e3:8.3f} ms", flush=True)
+        sm_s = ChebyshevSmoother.create(op, lv.inv_diag, degree=3,
+                                        max_eigenvalue=2.0)
+        sm_f = ChebyshevSmoother.create(flat, lv.inv_diag, degree=3,
+                                        max_eigenvalue=2.0)
+        for name, sm in (("flat", sm_f), ("split", sm_s)):
+            t = timeit_looped(lambda o, v: o.vmult(v), sm, x)
+            print(f"  smoother[{name:5s}] {t*1e3:8.3f} ms", flush=True)
+        # on-chip exactness (slot-consistent input; see profile_tv note)
+        u = rng.standard_normal(lv.fmt.dofh.n_dofs).astype(np.float32)
+        xc = jnp.asarray(lv.fmt.from_global(u).astype(np.float32))
+        a = np.asarray(flat.vmult(xc))
+        b = np.asarray(op.vmult(xc))
+        rel = np.abs(a - b).max() / max(np.abs(a).max(), 1e-30)
+        print(f"  split vs flat rel err (consistent input): {rel:.2e}",
+              flush=True)
+
+
+if __name__ == "__main__":
+    main()

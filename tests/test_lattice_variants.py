@@ -218,6 +218,94 @@ def test_tcfaces_dense_planes_match_flat(monkeypatch):
     assert checked, "no tv level carried structured patch faces"
 
 
+@pytest.mark.parametrize(
+    "geom,r,p", [("quadrant", 4, 2), ("quadrant", 5, 3), ("annulus", 4, 2)]
+)
+def test_tsplit_pipeline_matches_flat_tv(geom, r, p, monkeypatch):
+    # MGTPU_TSPLIT: the split-state (TVec) pipeline — patch head and
+    # singleton tail carried as separate leaves, host-split scatter tables.
+    # Must equal the flat tv path exactly: the same gathers/GEMMs run, only
+    # the scatter TARGETS move to the bucket they live in (per-slot
+    # duplicate groups never span buckets, so set-order is preserved).
+    monkeypatch.setenv("MGTPU_TV", "1")
+    monkeypatch.setenv("MGTPU_TCFACES", "1")
+    monkeypatch.setenv("MGTPU_TSPLIT", "1")
+    levels = _levels(geom, r, p, jnp.float64)
+    rng = np.random.default_rng(17)
+    checked = False
+    for lv in levels:
+        op = lv.op
+        if op.tv is None:
+            continue
+        assert "split" in op.tv
+        flat = dataclasses.replace(
+            op, tv={k: v for k, v in op.tv.items() if k != "split"}
+        )
+        x = jnp.asarray(rng.standard_normal(op.n_slots), jnp.float64)
+        a = np.asarray(flat.vmult(x))
+        b = np.asarray(op.vmult(x))
+        scale = max(np.abs(a).max(), 1.0)
+        np.testing.assert_allclose(b, a, rtol=0, atol=1e-12 * scale)
+        # layout round-trip is exact
+        np.testing.assert_array_equal(
+            np.asarray(op._from_ts(op._to_ts(x))), np.asarray(x)
+        )
+        # stage-level equality vs the flat-T stages
+        xt = flat._to_t(x)
+        xs = op._to_ts(x)
+        for f_t, f_ts in (
+            (flat._apply_c_t, op._apply_c_ts),
+            (flat._ct_faces_t, op._ct_faces_ts),
+            (flat._exchange_t, op._exchange_ts),
+            (flat._apply_ct_t, op._apply_ct_ts),
+            (flat._vmult_t_core, op._vmult_ts_core),
+        ):
+            ref = np.asarray(f_t(xt))
+            got = np.asarray(op._from_ts(f_ts(xs)))
+            ref_flat = np.asarray(flat._from_t(ref))
+            np.testing.assert_allclose(
+                got, ref_flat, rtol=0, atol=1e-12 * scale
+            )
+        checked = True
+    assert checked, "no level built split tables"
+
+
+def test_tsplit_smoother_recurrence(monkeypatch):
+    # the Chebyshev recurrence on split (TVec) state must match the flat-T
+    # recurrence: same polynomial, different state carrier.
+    from dealii_multigrid_tpu.solvers.chebyshev import ChebyshevSmoother
+
+    monkeypatch.setenv("MGTPU_TV", "1")
+    monkeypatch.setenv("MGTPU_TSPLIT", "1")
+    levels = _levels("quadrant", 4, 2, jnp.float64)
+    rng = np.random.default_rng(23)
+    checked = False
+    for lv in levels:
+        op = lv.op
+        if op.tv is None or "split" not in op.tv:
+            continue
+        inv_diag = jnp.asarray(np.asarray(lv.inv_diag), jnp.float64)
+        sm = ChebyshevSmoother.create(
+            op, inv_diag, degree=3, max_eigenvalue=2.0
+        )
+        flat_op = dataclasses.replace(
+            op, tv={k: v for k, v in op.tv.items() if k != "split"}
+        )
+        sm_flat = ChebyshevSmoother.create(
+            flat_op, inv_diag, degree=3, max_eigenvalue=2.0
+        )
+        b = jnp.asarray(rng.standard_normal(op.n_slots), jnp.float64)
+        x0 = jnp.asarray(rng.standard_normal(op.n_slots), jnp.float64)
+        for f, g in ((sm.vmult, sm_flat.vmult),
+                     (lambda v: sm.step(x0, v), lambda v: sm_flat.step(x0, v))):
+            a = np.asarray(g(b))
+            c = np.asarray(f(b))
+            scale = max(np.abs(a).max(), 1.0)
+            np.testing.assert_allclose(c, a, rtol=0, atol=1e-12 * scale)
+        checked = True
+    assert checked, "no split level exercised the smoother"
+
+
 def test_scatter_rounds_cover_all_levels():
     # the build-time dependency grouping must partition the sf level list
     levels = _levels("quadrant", 5, 3, jnp.float64)
