@@ -99,10 +99,13 @@ DEFAULT_POLICY: dict[str, str] = {
     # ride the whole pipeline as separate leaves — constraint scatters cost
     # the bucket they live in (census_rounds.py: every element-priced table
     # at bench shapes is tail-resident, 4 MB vs the 78 MB fused volume) and
-    # the per-stage split/concat repacks vanish.  Staged pending the TPU
-    # A/B (scripts/profile_tsplit.py); algebra exactness-tested vs the flat
-    # tv pipeline in CI.  Flipped to "1" by measurement only.
-    "MGTPU_TSPLIT": "",
+    # the per-stage split/concat repacks vanish.  TPU-measured in context
+    # (probe_tsplit_vcycle, r=7/p=4, one build, 2026-08-19): V-cycle 165.3
+    # -> 155.9 ms, PCG step 179.0 -> 170.2 ms (-5%); stage-level the L7
+    # smoother step is the main win (29.1 -> 26.7 ms, profile_tsplit).
+    # Algebra exactness-tested vs the flat tv pipeline in CI and on chip
+    # (consistent input 4.9e-8 f32).
+    "MGTPU_TSPLIT": "1",
 }
 
 
