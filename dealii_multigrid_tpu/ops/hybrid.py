@@ -391,6 +391,124 @@ class TVec:
 jax.tree_util.register_dataclass(TVec, data_fields=["head", "tail"], meta_fields=[])
 
 
+def _build_rowsf(rounds, sf_single_np, ps_raw, nloc, NS, dtype, dedup,
+                 to_device):
+    """Row-form singleton structured faces for the split pipeline
+    (round-4i).  profile_l6: the element-priced singleton-face tables cost
+    ~7.7 ns/element — apply_c_ts 1.83 ms + ct_faces_ts 1.93 ms of the
+    6.9 ms L6 vmult (and the same tables price every patch level).  Block-
+    row gathers cost ~4 ns/ROW, so each face moves as its cell's whole
+    [nloc] row + a one-hot [nloc, n1^2] plane-selection GEMM.
+
+    For each round, the singleton faces of its FULLY-TAIL-RESIDENT levels
+    are bucketed by their (face, src) within-row offset patterns; each
+    bucket becomes: src block-row gather -> plane extract GEMM -> the same
+    per-row Eh interpolation einsums as the flat path -> expand GEMM ->
+    block-row scatter.  dedup=True builds the apply_c (scatter-SET) form:
+    a designated writer per tail slot (duplicate writers carry equal
+    values, so picking one is exact) plus a per-round unique-cell blend
+    (old*(1-keep) + acc).  dedup=False builds the ct (scatter-ADD) form
+    with the 1/coverage ct mask folded in (adds commute).
+
+    Returns (rounds_data, covered) — rounds_data[r] is None or a dict of
+    device arrays; covered[level_index] marks levels handled here (their
+    element tables are dropped from the residual sfs set).
+    """
+    n_lvls = len(sf_single_np)
+    covered = [False] * n_lvls
+    if NS == 0:
+        return tuple(None for _ in rounds), covered
+    n1sq = None
+    ok = []
+    for t in sf_single_np:
+        if t is None:
+            ok.append(False)
+            continue
+        cat_f, cat_s = t[0], t[1]
+        ok.append(bool((cat_f >= ps_raw).all() and (cat_s >= ps_raw).all()))
+        n1sq = cat_f.shape[1] * cat_f.shape[2]
+    out = []
+    for rnd in rounds:
+        lv = [i for i in rnd if ok[i]]
+        if not lv:
+            out.append(None)
+            continue
+        for i in lv:
+            covered[i] = True
+        # bucket rows by (face pattern, src pattern)
+        buckets: dict = {}
+        for i in lv:
+            cat_f, cat_s, cat_m, cat_pa, cat_pb = sf_single_np[i]
+            fr = cat_f - ps_raw
+            sr = cat_s - ps_raw
+            fc, fo = fr.reshape(len(fr), -1) // nloc, fr.reshape(len(fr), -1) % nloc
+            sc, so = sr.reshape(len(sr), -1) // nloc, sr.reshape(len(sr), -1) % nloc
+            assert (fc == fc[:, :1]).all() and (sc == sc[:, :1]).all(), \
+                "structured single face spans multiple cells"
+            for k in range(len(fr)):
+                key = (fo[k].tobytes(), so[k].tobytes())
+                b = buckets.setdefault(key, {"fc": [], "sc": [], "pa": [],
+                                             "pb": [], "m": [], "fo": fo[k],
+                                             "so": so[k]})
+                b["fc"].append(fc[k, 0])
+                b["sc"].append(sc[k, 0])
+                b["pa"].append(cat_pa[k])
+                b["pb"].append(cat_pb[k])
+                b["m"].append(cat_m.reshape(len(cat_m), -1)[k])
+        blist = list(buckets.values())
+        if dedup:
+            # designated writer per tail slot across the whole round
+            slots_all = np.concatenate(
+                [np.asarray(b["fc"], np.int64)[:, None] * nloc + b["fo"][None, :]
+                 for b in blist]
+            ).reshape(-1)
+            wm_all = np.zeros(len(slots_all), bool)
+            _u, first = np.unique(slots_all, return_index=True)
+            wm_all[first] = True
+            wm_all = wm_all.reshape(-1, n1sq)
+            off = 0
+            uniq_cells = np.unique(np.concatenate(
+                [np.asarray(b["fc"], np.int64) for b in blist]
+            ))
+            cmap = np.full(NS, -1, np.int64)
+            cmap[uniq_cells] = np.arange(len(uniq_cells))
+            keep = np.zeros((len(uniq_cells), nloc), np.float64)
+        devb = []
+        for b in blist:
+            m = len(b["fc"])
+            fx = np.zeros((nloc, n1sq))
+            fx[b["fo"], np.arange(n1sq)] = 1.0
+            sx = np.zeros((nloc, n1sq))
+            sx[b["so"], np.arange(n1sq)] = 1.0
+            ent = {
+                "fc": to_device(np.asarray(b["fc"]), jnp.int32),
+                "sc": to_device(np.asarray(b["sc"]), jnp.int32),
+                "pa": to_device(np.asarray(b["pa"]), jnp.int32),
+                "pb": to_device(np.asarray(b["pb"]), jnp.int32),
+                "fx": to_device(fx, dtype),
+                "sx": to_device(sx, dtype),
+            }
+            if dedup:
+                wm = wm_all[off : off + m]
+                off += m
+                cells = np.asarray(b["fc"], np.int64)
+                np.add.at(keep, (cmap[cells][:, None],
+                                 np.broadcast_to(b["fo"][None, :], (m, n1sq))),
+                          wm.astype(np.float64))
+                ent["wm"] = to_device(wm.astype(np.float64), dtype)
+                ent["cp"] = to_device(cmap[cells], jnp.int32)
+            else:
+                ent["mask"] = to_device(np.asarray(b["m"]), dtype)
+            devb.append(ent)
+        rd = {"b": tuple(devb)}
+        if dedup:
+            assert keep.max() <= 1.0 + 1e-9
+            rd["uc"] = to_device(uniq_cells, jnp.int32)
+            rd["keep"] = to_device(keep, dtype)
+        out.append(rd)
+    return tuple(out), covered
+
+
 def _split_gather(sp, h: jax.Array, t: jax.Array, shape) -> jax.Array:
     """Gather a host-split slot table from the (head, tail) pieces.
     ``sp = (hidx, hpos, tidx, tpos)``: flat indices into each piece plus
@@ -1601,8 +1719,10 @@ class HybridOperator:
                 (i,) for i in range(len(self.sf_levels))
             )
             dense = self.tv.get("sfp_dense")
+            rowsf = sp.get("rowsf_c")
+            sfs_tabs = sp["sfs_ro"] if rowsf is not None else sp["sfs"]
             S, NP = self.S, self.NP
-            for rnd in rounds:
+            for ridx, rnd in enumerate(rounds):
                 hp, tp = [], []
                 routed: dict = {}
                 covers: dict = {}
@@ -1639,8 +1759,8 @@ class HybridOperator:
                         else:
                             for side_, idx, vv in _split_parts(fsp, plane):
                                 (hp if side_ == "h" else tp).append((idx, vv))
-                    if sp["sfs"][i] is not None:
-                        fsp, ssp = sp["sfs"][i]
+                    if sfs_tabs[i] is not None:
+                        fsp, ssp = sfs_tabs[i]
                         _f, _s, _m, pa, pb = self.sf_single[i]
                         Ea = self.sf_Eh[pa].astype(t.dtype)
                         Eb = self.sf_Eh[pb].astype(t.dtype)
@@ -1654,6 +1774,43 @@ class HybridOperator:
                         for side_, idx, vv in _split_parts(fsp, plane):
                             (hp if side_ == "h" else tp).append((idx, vv))
                 h, t = self._ts_scatter(h, t, hp, tp, add=False)
+                if rowsf is not None and rowsf[ridx] is not None:
+                    # row-form singleton faces: block-row src gathers +
+                    # plane-selection GEMMs; one blended unique-cell row
+                    # write per round (designated writer per slot — the
+                    # duplicate face writes carry equal values, so picking
+                    # one is exact).  Round analysis proves the src reads
+                    # are disjoint from this round's writes.
+                    rd = rowsf[ridx]
+                    nl = self.nloc
+                    n1 = self._n1
+                    t2 = t.reshape(self.NS, nl)
+                    acc = jnp.zeros((rd["uc"].shape[0], nl), t.dtype)
+                    for bk in rd["b"]:
+                        srows = t2[bk["sc"]]
+                        sv = jnp.matmul(
+                            srows, bk["sx"].astype(t.dtype),
+                            precision=HIGHEST,
+                        ).reshape(-1, n1, n1)
+                        Ea = self.sf_Eh[bk["pa"]].astype(t.dtype)
+                        Eb = self.sf_Eh[bk["pb"]].astype(t.dtype)
+                        tmp = jnp.einsum(
+                            "nmk,njk->nmj", sv, Eb, precision=HIGHEST
+                        )
+                        plane = jnp.einsum(
+                            "nmj,nim->nij", tmp, Ea, precision=HIGHEST
+                        )
+                        pm = plane.reshape(plane.shape[0], -1) \
+                            * bk["wm"].astype(t.dtype)
+                        c_full = jnp.matmul(
+                            pm, bk["fx"].astype(t.dtype).T,
+                            precision=HIGHEST,
+                        )
+                        acc = acc.at[bk["cp"]].add(c_full)
+                    rows_old = t2[rd["uc"]]
+                    keep = rd["keep"].astype(t.dtype)
+                    t2 = t2.at[rd["uc"]].set(rows_old * (1.0 - keep) + acc)
+                    t = t2.reshape(-1)
                 if routed:
                     ut = h.reshape(S, S, S, NP)
                     for (d, side), term in routed.items():
@@ -1704,8 +1861,39 @@ class HybridOperator:
             (i,) for i in range(len(self.sf_levels) - 1, -1, -1)
         )
         dense = self.tv.get("sfp_dense")
-        for rnd in rounds:
+        rowsf = sp.get("rowsf_ct")
+        sfs_tabs = sp["sfs_ro"] if rowsf is not None else sp["sfs"]
+        for ridx, rnd in enumerate(rounds):
             hp, tp = [], []
+            row_adds = []
+            if rowsf is not None and rowsf[ridx] is not None:
+                # row-form singleton faces: block-row face gathers (ct
+                # coverage mask folded into the gathered plane, as in the
+                # flat path) + block-row scatter-ADDS to the src cells
+                # (adds commute, duplicate rows fine)
+                nl = self.nloc
+                n1 = self._n1
+                t2 = t.reshape(self.NS, nl)
+                for bk in rowsf[ridx]["b"]:
+                    frows = t2[bk["fc"]]
+                    plane = (
+                        jnp.matmul(frows, bk["fx"].astype(t.dtype),
+                                   precision=HIGHEST)
+                        * bk["mask"].astype(t.dtype)
+                    ).reshape(-1, n1, n1)
+                    Ea = self.sf_Eh[bk["pa"]].astype(t.dtype)
+                    Eb = self.sf_Eh[bk["pb"]].astype(t.dtype)
+                    tmp = jnp.einsum(
+                        "nij,nim->nmj", plane, Ea, precision=HIGHEST
+                    )
+                    contrib = jnp.einsum(
+                        "nmj,njk->nmk", tmp, Eb, precision=HIGHEST
+                    )
+                    c_full = jnp.matmul(
+                        contrib.reshape(contrib.shape[0], -1),
+                        bk["sx"].astype(t.dtype).T, precision=HIGHEST,
+                    )
+                    row_adds.append((bk["sc"], c_full))
             for i in rnd:
                 if sp["sfp"][i] is not None:
                     fsp, ssp = sp["sfp"][i]
@@ -1740,8 +1928,8 @@ class HybridOperator:
                                          precision=HIGHEST)
                     for side_, idx, vv in _split_parts(ssp, contrib):
                         (hp if side_ == "h" else tp).append((idx, vv))
-                if sp["sfs"][i] is not None:
-                    fsp, ssp = sp["sfs"][i]
+                if sfs_tabs[i] is not None:
+                    fsp, ssp = sfs_tabs[i]
                     _f, _s, mask, pa, pb = self.sf_single[i]
                     Ea = self.sf_Eh[pa].astype(t.dtype)
                     Eb = self.sf_Eh[pb].astype(t.dtype)
@@ -1755,6 +1943,15 @@ class HybridOperator:
                     for side_, idx, vv in _split_parts(ssp, contrib):
                         (hp if side_ == "h" else tp).append((idx, vv))
             h, t = self._ts_scatter(h, t, hp, tp, add=True)
+            if row_adds:
+                t2 = t.reshape(self.NS, self.nloc)
+                if len(row_adds) == 1:
+                    t2 = t2.at[row_adds[0][0]].add(row_adds[0][1])
+                else:
+                    t2 = t2.at[jnp.concatenate([a for a, _ in row_adds])].add(
+                        jnp.concatenate([b for _, b in row_adds])
+                    )
+                t = t2.reshape(-1)
         return TVec(h * sp["sfk_h"], t * sp["sfk_t"])
 
     def _exchange_ts(self, v: TVec) -> TVec:
@@ -2326,7 +2523,10 @@ def make_hybrid_operator(
         sf_single_rows_meta.append(tuple(srows_meta))
         if faces:
             cat_f, cat_s = np.concatenate(faces), np.concatenate(srcs)
-            sf_single_np.append((cat_f, cat_s))
+            sf_single_np.append(
+                (cat_f, cat_s, np.concatenate(masks),
+                 np.concatenate(pas), np.concatenate(pbs))
+            )
             sf_single.append(
                 (
                     to_device(cat_f, jnp.int32),
@@ -2638,6 +2838,33 @@ def make_hybrid_operator(
                     for t in sf_single_np
                 ),
             }
+            if fmt.n_singles and variant_flag(
+                "MGTPU_ROWSF", np=fmt.n_patches, ns=fmt.n_singles
+            ):
+                ps_raw = fmt.n_patches * S**3
+                c_rounds = sf_c_rounds or tuple(
+                    (i,) for i in range(len(sf_levels))
+                )
+                ct_rounds = sf_ct_rounds or tuple(
+                    (i,) for i in range(len(sf_levels) - 1, -1, -1)
+                )
+                rc, covered = _build_rowsf(
+                    c_rounds, sf_single_np, ps_raw, fmt.dofh.n_loc,
+                    fmt.n_singles, dtype, True, to_device,
+                )
+                rct, _ = _build_rowsf(
+                    ct_rounds, sf_single_np, ps_raw, fmt.dofh.n_loc,
+                    fmt.n_singles, dtype, False, to_device,
+                )
+                if any(covered):
+                    tv["split"]["rowsf_c"] = rc
+                    tv["split"]["rowsf_ct"] = rct
+                    # residual element tables: only the uncovered levels
+                    tv["split"]["sfs_ro"] = tuple(
+                        None if (t is None or covered[i])
+                        else (stab(t[0]), stab(t[1]))
+                        for i, t in enumerate(sf_single_np)
+                    )
 
     return HybridOperator(
         KS=to_device(KS, dtype),

@@ -106,6 +106,14 @@ DEFAULT_POLICY: dict[str, str] = {
     # Algebra exactness-tested vs the flat tv pipeline in CI and on chip
     # (consistent input 4.9e-8 f32).
     "MGTPU_TSPLIT": "1",
+    # row-form singleton structured faces inside the split pipeline: each
+    # face moves as its cell's whole [nloc] block row + one-hot plane-
+    # selection GEMMs instead of element-priced flat tables (block rows
+    # ~4 ns/ROW vs ~7.7 ns/ELEMENT; profile_l6 prices the element tables
+    # at 1.83 + 1.93 ms of the 6.9 ms L6 vmult, and the same tables recur
+    # at every patch level).  Staged pending the TPU A/B
+    # (scripts/profile_rowsf.py); exactness-tested in CI.
+    "MGTPU_ROWSF": "",
 }
 
 

@@ -270,6 +270,56 @@ def test_tsplit_pipeline_matches_flat_tv(geom, r, p, monkeypatch):
     assert checked, "no level built split tables"
 
 
+@pytest.mark.parametrize(
+    "geom,r,p", [("quadrant", 4, 2), ("quadrant", 5, 3), ("annulus", 4, 2)]
+)
+def test_rowsf_matches_element_tables(geom, r, p, monkeypatch):
+    # MGTPU_ROWSF: singleton structured faces as block-row gathers +
+    # one-hot plane-selection GEMMs (split pipeline).  On slot-CONSISTENT
+    # input (the invariant class apply_c sees in production — duplicate
+    # face writes carry equal values there) the designated-writer dedup is
+    # exact; the ct side only reorders commuting adds.
+    monkeypatch.setenv("MGTPU_TV", "1")
+    monkeypatch.setenv("MGTPU_TCFACES", "1")
+    monkeypatch.setenv("MGTPU_TSPLIT", "1")
+    monkeypatch.setenv("MGTPU_ROWSF", "1")
+    levels = _levels(geom, r, p, jnp.float64)
+    rng = np.random.default_rng(29)
+    checked = False
+    for lv in levels:
+        op = lv.op
+        if op.tv is None or "rowsf_c" not in op.tv.get("split", {}):
+            continue
+        sp = op.tv["split"]
+        noro = dataclasses.replace(
+            op, tv={
+                **op.tv,
+                "split": {
+                    k: v for k, v in sp.items()
+                    if not k.startswith("rowsf") and k != "sfs_ro"
+                },
+            }
+        )
+        u = rng.standard_normal(lv.fmt.dofh.n_dofs)
+        x = jnp.asarray(lv.fmt.from_global(u), jnp.float64)
+        a = np.asarray(noro.vmult(x))
+        b = np.asarray(op.vmult(x))
+        scale = max(np.abs(a).max(), 1.0)
+        np.testing.assert_allclose(b, a, rtol=0, atol=1e-12 * scale)
+        # ct stage alone on an arbitrary (residual-type) vector: adds
+        # commute, so raw input is fine there
+        xr = jnp.asarray(rng.standard_normal(op.n_slots), jnp.float64)
+        xs = op._to_ts(xr)
+        ref = np.asarray(noro._from_ts(noro._ct_faces_ts(xs)))
+        got = np.asarray(op._from_ts(op._ct_faces_ts(xs)))
+        np.testing.assert_allclose(got, ref, rtol=0,
+                                   atol=1e-12 * max(np.abs(ref).max(), 1.0))
+        checked = True
+    if geom == "annulus" and not checked:
+        pytest.skip("no tail-resident singleton-face level on this mesh")
+    assert checked, "no level built rowsf tables"
+
+
 def test_tsplit_smoother_recurrence(monkeypatch):
     # the Chebyshev recurrence on split (TVec) state must match the flat-T
     # recurrence: same polynomial, different state carrier.
