@@ -743,12 +743,18 @@ def build_gc_preconditioner_hybrid(
     coarse = _hybrid_coarse_solver(
         mg_data.coarse_solver.type, levels[0], mg_data, level_dtype
     )
+    from .utils.flags import variant_flag
+
     return Multigrid(
         operators=[lv.op for lv in levels],
         smoothers=smoothers,
         transfers=transfers,
         coarse_solve=coarse,
         n_cycles=1,
+        use_state=variant_flag(
+            "MGTPU_TVCYCLE",
+            np=levels[-1].op.NP, ns=levels[-1].op.NS,
+        ),
     )
 
 

@@ -93,6 +93,13 @@ class HybridTransfer:
     # constrained-row masking — only the ownership mask and the coarse
     # exchange (the restrict_and_add assembly)
     ls_mode: bool = False
+    # T-state transfer masks (round-4j, MGTPU_TVCYCLE): the fine-side keep
+    # masks permuted into the fine op's T layout and split at the bucket
+    # boundary, so restrict_ts/prolong_ts read/write the split (TVec) fine
+    # state with NO fine-side boundary transposes (the main ttransfer path
+    # is already T-shaped; only the small id/irr extras transpose on
+    # demand).  None when the fine op carries no split tables.
+    tsx: dict | None = None
 
     @property
     def fine_patch_slots(self) -> int:
@@ -376,6 +383,12 @@ class HybridTransfer:
                     v = jnp.matmul(rs[sidx], M.astype(dtype), precision=HIGHEST)
                     acc_s = acc_s.at[crow].add(v)
                 acc = cop._with_singles(acc, acc_s)
+        return self._restrict_coarse_tail(acc)
+
+    def _restrict_coarse_tail(self, acc: jax.Array) -> jax.Array:
+        """Coarse-side assembly after the restriction accumulator: C^T on
+        structured faces, exchange, C^T per-node (skipped in ls_mode)."""
+        cop = self.coarse_op
         if cop.tv is not None and "split" in cop.tv:
             acc_t = cop._to_ts(acc)
             if self.ls_mode:
@@ -396,13 +409,179 @@ class HybridTransfer:
         acc = cop.exchange(acc)
         return cop.apply_ct(acc)
 
+    # ------------------------------------------------ T-state entry points
+    # (round-4j, MGTPU_TVCYCLE): the V-cycle keeps each level's state split
+    # (TVec), so the fine side of both directions reads/writes the T head
+    # and tail directly — the per-visit boundary transposes (to/from_t
+    # around every smoother call, residual vmult and transfer) collapse to
+    # ONE pair per level visit.
+    def restrict_ts(self, rf) -> jax.Array:
+        """restrict() from the fine level's split T state; returns the flat
+        coarse vector (the coarse boundary pair stays — coarse levels are
+        8-64x smaller)."""
+        tsx = self.tsx
+        dtype = rf.head.dtype if rf.head.size else rf.tail.dtype
+        h = rf.head * tsx["rk_h"]
+        t = rf.tail * tsx["rk_t"]
+        cop = self.coarse_op
+        S_c, S_f, sub = self.S_c, self.S_f, self.sub
+        acc = jnp.zeros(self.n_slots_c, dtype)
+        acc2 = jnp.zeros((cop.NP, S_c**3), dtype) if cop.NP else None
+        rp2 = None
+        if cop.NP and (self.patch_buckets or self.id_oct):
+            rt = h.reshape(S_f, S_f, S_f, self.NP_f)
+            acc_t = jnp.zeros((S_c, S_c, S_c, cop.NP), dtype)
+            if self.patch_buckets:
+                v = self._interp_lead_t(rt)
+                for ((_f, _c, _ch), (ox, oy, oz), H) in zip(
+                    self.patch_buckets, self.patch_offsets, self.patch_hot
+                ):
+                    g = jnp.tensordot(
+                        v, H.astype(dtype), axes=([3], [1]),
+                        precision=HIGHEST,
+                    )
+                    acc_t = acc_t.at[
+                        ox : ox + sub, oy : oy + sub, oz : oz + sub, :
+                    ].add(g)
+            for (_sr, _fr, H), (dx, dy, dz) in zip(
+                self.id_oct, self.id_oct_offsets
+            ):
+                w = rt[
+                    dx * S_c : dx * S_c + S_c - dx,
+                    dy * S_c : dy * S_c + S_c - dy,
+                    dz * S_c : dz * S_c + S_c - dz,
+                    :,
+                ]
+                g = jnp.tensordot(
+                    w, H.astype(dtype), axes=([3], [1]), precision=HIGHEST
+                )
+                acc_t = acc_t.at[dx:, dy:, dz:, :].add(g)
+            acc2 = acc_t.reshape(S_c**3, cop.NP).T
+        if self.id_bucket is not None or self.irr_patch is not None \
+                or self.irr_id is not None:
+            # small extras need patch-major rows: one transpose on demand
+            rp2 = h.reshape(S_f**3, self.NP_f).T
+        if acc2 is not None and self.id_bucket is not None:
+            fidx, cidx = self.id_bucket
+            acc2 = acc2.at[cidx].add(rp2[fidx])
+        if acc2 is not None:
+            acc = cop._with_patches2d(acc, acc2)
+        if self.irr_patch is not None:
+            fidx, sub_slots = self.irr_patch
+            sv = rp2[fidx].reshape(-1, S_f, S_f, S_f)
+            acc = acc.at[sub_slots.reshape(-1)].add(
+                self._interp_sub_t(sv).reshape(-1)
+            )
+        if self.irr_id is not None:
+            fidx, slots = self.irr_id
+            acc = acc.at[slots.reshape(-1)].add(rp2[fidx].reshape(-1))
+        if self.NS_f:
+            rs = t.reshape(self.NS_f, self.nloc_f)
+            for sidx, src_slots, M in self.single_buckets:
+                v = jnp.matmul(rs[sidx], M.astype(dtype), precision=HIGHEST)
+                acc = acc.at[src_slots.reshape(-1)].add(v.reshape(-1))
+            if self.single_fast:
+                acc_s = cop._singles(acc)
+                for sidx, crow, M in self.single_fast:
+                    v = jnp.matmul(rs[sidx], M.astype(dtype),
+                                   precision=HIGHEST)
+                    acc_s = acc_s.at[crow].add(v)
+                acc = cop._with_singles(acc, acc_s)
+        return self._restrict_coarse_tail(acc)
+
+    def prolong_ts(self, uc: jax.Array):
+        """prolong() emitting the fine level's split T state (TVec)."""
+        from .hybrid import TVec
+
+        tsx = self.tsx
+        cop = self.coarse_op
+        if not self.ls_mode:
+            if cop.tv is not None and "split" in cop.tv:
+                uc = cop._from_ts(cop._apply_c_ts(cop._to_ts(uc)))
+            elif cop.tv is not None:
+                uc = cop._from_t(cop._apply_c_t(cop._to_t(uc)))
+            else:
+                uc = cop.apply_c(uc)
+        dtype = uc.dtype
+        S_c, S_f, sub = self.S_c, self.S_f, self.sub
+        uc2 = cop._patches2d(uc) if cop.NP else None
+        vt = jnp.zeros((S_f, S_f, S_f, self.NP_f), dtype) if self.NP_f \
+            else None
+        if cop.NP and (self.patch_buckets or self.id_oct):
+            uct = uc2.T.reshape(S_c, S_c, S_c, cop.NP)
+            if self.patch_buckets:
+                acc = None
+                for ((_f, _c, _ch), (ox, oy, oz), H) in zip(
+                    self.patch_buckets, self.patch_offsets, self.patch_hot
+                ):
+                    w = uct[ox : ox + sub, oy : oy + sub, oz : oz + sub, :]
+                    term = jnp.tensordot(
+                        w, H.astype(dtype), axes=([3], [0]),
+                        precision=HIGHEST,
+                    )
+                    acc = term if acc is None else acc + term
+                vt = vt + self._interp_lead(acc)
+            for (_sr, _fr, H), (dx, dy, dz) in zip(
+                self.id_oct, self.id_oct_offsets
+            ):
+                w = uct[dx:, dy:, dz:, :]
+                vt = vt.at[
+                    dx * S_c : dx * S_c + S_c - dx,
+                    dy * S_c : dy * S_c + S_c - dy,
+                    dz * S_c : dz * S_c + S_c - dz,
+                    :,
+                ].add(
+                    jnp.tensordot(
+                        w, H.astype(dtype), axes=([3], [0]),
+                        precision=HIGHEST,
+                    )
+                )
+        if self.id_bucket is not None or self.irr_patch is not None \
+                or self.irr_id is not None:
+            # small extras set patch-major rows: transpose in/out on demand
+            out2 = vt.reshape(S_f**3, self.NP_f).T
+            if self.id_bucket is not None:
+                fidx, cidx = self.id_bucket
+                out2 = out2.at[fidx].set(uc2[cidx])
+            if self.irr_patch is not None:
+                fidx, sub_slots = self.irr_patch
+                sv = uc[sub_slots].reshape(-1, sub, sub, sub)
+                out2 = out2.at[fidx].set(
+                    self._interp_sub(sv).reshape(len(fidx), -1)
+                )
+            if self.irr_id is not None:
+                fidx, slots = self.irr_id
+                out2 = out2.at[fidx].set(uc[slots].reshape(len(fidx), -1))
+            head = out2.T.reshape(-1)
+        else:
+            head = vt.reshape(-1) if vt is not None else jnp.zeros(0, dtype)
+        if self.NS_f:
+            out_s = jnp.zeros((self.NS_f, self.nloc_f), dtype)
+            for sidx, src_slots, M in self.single_buckets:
+                v = jnp.matmul(uc[src_slots], M.T.astype(dtype),
+                               precision=HIGHEST)
+                out_s = out_s.at[sidx].set(v)
+            if self.single_fast:
+                us_c = cop._singles(uc)
+                for sidx, crow, M in self.single_fast:
+                    v = jnp.matmul(us_c[crow], M.T.astype(dtype),
+                                   precision=HIGHEST)
+                    out_s = out_s.at[sidx].set(v)
+            tail = out_s.reshape(-1)
+        else:
+            tail = jnp.zeros(0, dtype)
+        out = TVec(head, tail)
+        if self.ls_mode:
+            return out
+        return out * TVec(tsx["pk_h"], tsx["pk_t"])
+
 
 jax.tree_util.register_dataclass(
     HybridTransfer,
     data_fields=[
         "coarse_op", "fine_constrained_keep", "fine_owner", "E1",
         "patch_buckets", "id_bucket", "id_oct", "irr_patch", "irr_id",
-        "single_buckets", "single_fast", "patch_hot",
+        "single_buckets", "single_fast", "patch_hot", "tsx",
     ],
     meta_fields=["patch_offsets", "id_oct_offsets", "S_f", "S_c", "sub", "NP_f", "NS_f", "nloc_f", "n_slots_f", "n_slots_c", "D_f", "ls_mode", "use_ttransfer"],
 )
@@ -772,7 +951,29 @@ def make_hybrid_transfer(
     if id_oct and not hot_ok:
         use_ttransfer = False  # t-path needs the one-hot routing matrices
 
+    tsx = None
+    if (
+        use_ttransfer
+        and fine_op.tv is not None
+        and "split" in fine_op.tv
+        and fine_fmt.n_shards == 1
+    ):
+        from .hybrid import tv_permute_host
+
+        ps_f = fine_fmt.n_patches * fine_fmt.S**3
+
+        def _pvs(v):
+            out = tv_permute_host(fine_op, np.asarray(v))
+            return to_device(out[:ps_f], dtype), to_device(out[ps_f:], dtype)
+
+        fck = np.asarray(fine_op.constrained_keep)
+        own = np.asarray(fine_op.owner)
+        rk_h, rk_t = _pvs(own if ls_mode else fck * own)
+        pk_h, pk_t = _pvs(fck)
+        tsx = {"rk_h": rk_h, "rk_t": rk_t, "pk_h": pk_h, "pk_t": pk_t}
+
     return HybridTransfer(
+        tsx=tsx,
         coarse_op=coarse_op,
         fine_constrained_keep=fine_op.constrained_keep,
         fine_owner=fine_op.owner,

@@ -401,13 +401,10 @@ class ChebyshevSmoother:
         ident = lambda v: v
         return op.vmult, ident, ident, self.inv_diag
 
-    def step(self, x: jax.Array, b: jax.Array) -> jax.Array:
-        """Chebyshev iteration from initial guess x (three-term recurrence)."""
-        vmult, to_t, from_t, inv_diag = self._tv()
+    def _step_state(self, vmult, inv_diag, x, b):
         theta = jnp.asarray(self.theta, b.dtype)
         delta = jnp.asarray(self.delta, b.dtype)
         sigma = theta / delta
-        x, b = to_t(x), to_t(b)
         r = b - vmult(x)
         d = (inv_diag * r) / theta
         x = x + d
@@ -418,16 +415,12 @@ class ChebyshevSmoother:
             d = (rho * rho_old) * d + (2.0 * rho / delta) * (inv_diag * r)
             x = x + d
             rho_old = rho
-        return from_t(x)
+        return x
 
-    def vmult(self, b: jax.Array) -> jax.Array:
-        """Apply as a preconditioner (zero initial guess); saves the first
-        operator application since r0 = b."""
-        vmult, to_t, from_t, inv_diag = self._tv()
+    def _vmult_state(self, vmult, inv_diag, b):
         theta = jnp.asarray(self.theta, b.dtype)
         delta = jnp.asarray(self.delta, b.dtype)
         sigma = theta / delta
-        b = to_t(b)
         d = (inv_diag * b) / theta
         x = d
         rho_old = 1.0 / sigma
@@ -437,7 +430,29 @@ class ChebyshevSmoother:
             d = (rho * rho_old) * d + (2.0 * rho / delta) * (inv_diag * r)
             x = x + d
             rho_old = rho
-        return from_t(x)
+        return x
+
+    def step(self, x: jax.Array, b: jax.Array) -> jax.Array:
+        """Chebyshev iteration from initial guess x (three-term recurrence)."""
+        vmult, to_t, from_t, inv_diag = self._tv()
+        return from_t(self._step_state(vmult, inv_diag, to_t(x), to_t(b)))
+
+    def vmult(self, b: jax.Array) -> jax.Array:
+        """Apply as a preconditioner (zero initial guess); saves the first
+        operator application since r0 = b."""
+        vmult, to_t, from_t, inv_diag = self._tv()
+        return from_t(self._vmult_state(vmult, inv_diag, to_t(b)))
+
+    def vmult_state(self, bt):
+        """vmult with the input/output already in the operator's T state
+        (TVec in split mode) — the T-space V-cycle skips the boundary
+        transposes entirely."""
+        vmult, _to, _frm, inv_diag = self._tv()
+        return self._vmult_state(vmult, inv_diag, bt)
+
+    def step_state(self, xt, bt):
+        vmult, _to, _frm, inv_diag = self._tv()
+        return self._step_state(vmult, inv_diag, xt, bt)
 
 
 jax.tree_util.register_dataclass(

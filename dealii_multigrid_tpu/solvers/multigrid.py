@@ -38,6 +38,12 @@ class Multigrid:
     transfers: tuple        # transfers[l]: level l <-> l-1; transfers[0] None
     coarse_solve: object    # pytree object, called as coarse_solve(b)
     n_cycles: int = 1
+    # T-state level visits (round-4j, MGTPU_TVCYCLE): each level whose
+    # operator/smoother/transfer carry split (TVec) machinery runs its
+    # whole visit in the split T layout — ONE to/from_ts pair per visit
+    # instead of a boundary transpose around every smoother call, residual
+    # vmult and transfer (~7 volume transposes per hot-level visit).
+    use_state: bool = False
 
     def __post_init__(self):
         object.__setattr__(self, "operators", tuple(self.operators))
@@ -48,12 +54,35 @@ class Multigrid:
     def n_levels(self) -> int:
         return len(self.operators)
 
+    def _level_state_ok(self, level: int) -> bool:
+        """Static (trace-time) check that a level can run in split T state."""
+        op = self.operators[level]
+        sm = self.smoothers[level]
+        tr = self.transfers[level]
+        from ..ops.hybrid import TVec
+
+        return (
+            getattr(op, "tv", None) is not None
+            and "split" in op.tv
+            and getattr(tr, "tsx", None) is not None
+            and isinstance(getattr(sm, "inv_diag_t", None), TVec)
+        )
+
     def _v_cycle(self, level: int, b: jax.Array) -> jax.Array:
         if level == 0:
             return self.coarse_solve(b)
         sm = self.smoothers[level]
         op = self.operators[level]
         tr = self.transfers[level]
+        if self.use_state and self._level_state_ok(level):
+            bt = op._to_ts(b)
+            xt = sm.vmult_state(bt)               # pre-smooth (zero guess)
+            rt = bt - op._vmult_ts_core(xt)       # residual, split state
+            bc = tr.restrict_ts(rt)               # restrict from T state
+            xc = self._v_cycle(level - 1, bc)     # coarse correction
+            xt = xt + tr.prolong_ts(xc)           # prolongate into T state
+            xt = sm.step_state(xt, bt)            # post-smooth
+            return op._from_ts(xt)
         x = sm.vmult(b)                       # pre-smooth (zero initial guess)
         r = b - op.vmult(x)                   # residual
         bc = tr.restrict(r)                   # restrict
@@ -73,7 +102,7 @@ class Multigrid:
 jax.tree_util.register_dataclass(
     Multigrid,
     data_fields=["operators", "smoothers", "transfers", "coarse_solve"],
-    meta_fields=["n_cycles"],
+    meta_fields=["n_cycles", "use_state"],
 )
 
 

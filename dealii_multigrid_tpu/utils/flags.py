@@ -114,6 +114,12 @@ DEFAULT_POLICY: dict[str, str] = {
     # at every patch level).  Staged pending the TPU A/B
     # (scripts/profile_rowsf.py); exactness-tested in CI.
     "MGTPU_ROWSF": "",
+    # T-state V-cycle: every eligible level visit runs in the split (TVec)
+    # layout with ONE to/from_ts pair instead of boundary transposes around
+    # each smoother call, residual vmult and transfer (~7 volume transposes
+    # per hot-level visit, ~1.6-2.0 ms each at L7).  Staged pending the TPU
+    # A/B; exactness-tested in CI.
+    "MGTPU_TVCYCLE": "",
 }
 
 

@@ -356,6 +356,46 @@ def test_tsplit_smoother_recurrence(monkeypatch):
     assert checked, "no split level exercised the smoother"
 
 
+def test_tvcycle_state_matches_flat(monkeypatch):
+    # MGTPU_TVCYCLE: level visits in split (TVec) state — one to/from_ts
+    # pair per visit.  Must equal the flat V-cycle exactly (same stage
+    # algebra; only the boundary transposes move).
+    import dataclasses as dc
+
+    from dealii_multigrid_tpu.solvers.multigrid import PreconditionMG
+    from dealii_multigrid_tpu.utils.params import MultigridParameters
+
+    monkeypatch.setenv("MGTPU_TV", "1")
+    monkeypatch.setenv("MGTPU_TCFACES", "1")
+    monkeypatch.setenv("MGTPU_TSPLIT", "1")
+    monkeypatch.setenv("MGTPU_ROWSF", "1")
+    monkeypatch.setenv("MGTPU_TTRANSFER", "1")
+    monkeypatch.setenv("MGTPU_KADAPT", "256")
+    monkeypatch.setenv("MGTPU_TVCYCLE", "1")
+    mesh = generators.create("quadrant", 3, 4, 0)
+    plan = api.gc_level_plan(
+        "HMG-global", geometric_coarsening_sequence(mesh), 3
+    )
+    ks = api.choose_level_ks(plan)
+    levels = [
+        api.build_level_hybrid(m, d, jnp.float64, K=kk)
+        for (m, d), kk in zip(plan, ks)
+    ]
+    mg_data = MultigridParameters()
+    mg_data.smoother.degree = 3
+    mg_data.coarse_solver.type = "amg"
+    mg = api.build_gc_preconditioner_hybrid(levels, mg_data, jnp.float64)
+    assert mg.use_state
+    assert any(mg._level_state_ok(l) for l in range(1, mg.n_levels))
+    mg_flat = dc.replace(mg, use_state=False)
+    rng = np.random.default_rng(31)
+    b = jnp.asarray(rng.standard_normal(levels[-1].op.n_slots), jnp.float64)
+    a = np.asarray(mg_flat.vmult(b))
+    c = np.asarray(mg.vmult(b))
+    scale = max(np.abs(a).max(), 1.0)
+    np.testing.assert_allclose(c, a, rtol=0, atol=1e-12 * scale)
+
+
 def test_scatter_rounds_cover_all_levels():
     # the build-time dependency grouping must partition the sf level list
     levels = _levels("quadrant", 5, 3, jnp.float64)
