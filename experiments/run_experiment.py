@@ -54,6 +54,10 @@ def main() -> int:
     ap.add_argument("--budget-s", type=float, default=1800.0)
     ap.add_argument("--max-ref", type=int, default=None,
                     help="skip configs with NRefGlobal above this")
+    ap.add_argument("--skip-n", type=int, default=0,
+                    help="skip the first N generated configs (resume a "
+                         "sweep that died partway; pair with a distinct "
+                         "--out and merge the artifacts)")
     ap.add_argument("--isolate", action="store_true",
                     help="run every config in its own subprocess (survives "
                          "TPU worker crashes at the cost of per-config "
@@ -119,6 +123,8 @@ def main() -> int:
             for c, p in parsed
             if args.max_ref is None or p.n_ref_global <= args.max_ref
         ]
+        if args.skip_n:
+            todo = todo[args.skip_n:]
 
         def run_isolated(config_path: str) -> list[dict]:
             """One config in a fresh subprocess (fresh TPU client)."""
@@ -177,6 +183,9 @@ def main() -> int:
                         f"{' '.join(args.gen_args)}\n")
                 f.write(f"# started: {time.strftime('%Y-%m-%d %H:%M:%S')}"
                         f"  elapsed: {time.time() - t0:.0f} s\n")
+                if args.skip_n:
+                    f.write(f"# resumed with --skip-n {args.skip_n} "
+                            f"(first configs ran in an earlier artifact)\n")
                 for nm, dt in done:
                     f.write(f"# ran {nm} in {dt:.1f} s\n")
                 f.write(buf.getvalue())
