@@ -111,15 +111,18 @@ DEFAULT_POLICY: dict[str, str] = {
     # selection GEMMs instead of element-priced flat tables (block rows
     # ~4 ns/ROW vs ~7.7 ns/ELEMENT; profile_l6 prices the element tables
     # at 1.83 + 1.93 ms of the 6.9 ms L6 vmult, and the same tables recur
-    # at every patch level).  Staged pending the TPU A/B
-    # (scripts/profile_rowsf.py); exactness-tested in CI.
-    "MGTPU_ROWSF": "",
+    # at every patch level).  TPU-measured (probe_rowsf_tvcycle, r=7/p=4,
+    # one build, 2026-08-20): V-cycle 156.9 -> 116.4 ms (-26%); exact on
+    # consistent input (2.6e-7 f32) vs the element tables, on chip and CI.
+    "MGTPU_ROWSF": "1",
     # T-state V-cycle: every eligible level visit runs in the split (TVec)
     # layout with ONE to/from_ts pair instead of boundary transposes around
     # each smoother call, residual vmult and transfer (~7 volume transposes
-    # per hot-level visit, ~1.6-2.0 ms each at L7).  Staged pending the TPU
-    # A/B; exactness-tested in CI.
-    "MGTPU_TVCYCLE": "",
+    # per hot-level visit, ~1.6-2.0 ms each at L7).  TPU-measured on top of
+    # rowsf (probe_rowsf_tvcycle, 2026-08-20): V-cycle 116.4 -> 104.3 ms,
+    # PCG step 171.7 -> 106.6 ms (-38% vs round-4h production); exact on
+    # consistent input (2.6e-7) on chip and in CI.
+    "MGTPU_TVCYCLE": "1",
 }
 
 
