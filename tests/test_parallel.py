@@ -327,3 +327,48 @@ def test_sharded_gc_variants_match_single_device(typ, number):
     # its reduction order, so solutions agree to the f32-application level
     # (measured ~7e-8 for mixed), well below the 1e-6 solve tolerance
     assert rel < 1e-5, (typ, number, rel)
+
+
+def test_sharded_solve_under_production_flags(monkeypatch):
+    """8-device sharded GC solve == single-device with the FULL TPU
+    production pipeline forced on (tv + tcfaces + tsplit + rowsf +
+    tvcycle + ttransfer + adaptive K).  DEFAULT_POLICY engages these on
+    any non-CPU platform — including real multi-chip — while every other
+    sharded test runs with the flags off (CPU default), so this is the
+    only coverage of the sharding x lane-dense-pipeline composition the
+    driver's dryrun cannot see (it runs on the CPU backend too)."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from dealii_multigrid_tpu.utils.params import RunParameters
+
+    for k in ("MGTPU_TV", "MGTPU_TCFACES", "MGTPU_TSPLIT", "MGTPU_ROWSF",
+              "MGTPU_TVCYCLE", "MGTPU_TTRANSFER", "MGTPU_TSTENCIL",
+              "MGTPU_ROW_SINGLE", "MGTPU_TEXCHANGE"):
+        monkeypatch.setenv(k, "1")
+    monkeypatch.setenv("MGTPU_KADAPT", "256")
+
+    def solve(n_shards):
+        prm = RunParameters()
+        prm.type = "HMG-global"
+        prm.geometry_type = "quadrant"
+        prm.n_ref_global = 3
+        prm.fe_degree_fine = 3
+        prm.number_type = "float"
+        prm.mg_number_type = "float"
+        prm.mg_data.coarse_solver.type = "amg"
+        prm.mg_data.smoother.degree = 3
+        prm.mg_data.cg_normal.reltol = 1e-6
+        prm.mg_data.n_repetitions = 1
+        prm.n_shards = n_shards
+        mesh = G.create("quadrant", 3, prm.n_ref_global, 0)
+        return api.solve_with_global_coarsening_hybrid(prm, mesh)
+
+    res1, _, _ = solve(1)
+    res8, _, _ = solve(8)
+    assert res8.converged
+    assert res8.n_iterations == res1.n_iterations
+    x1 = np.asarray(res1.x, np.float64)
+    x8 = np.asarray(res8.x, np.float64)
+    rel = np.linalg.norm(x8 - x1) / np.linalg.norm(x1)
+    # f32 end-to-end; sharding only changes reduction order
+    assert rel < 1e-5, rel
