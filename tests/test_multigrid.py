@@ -458,3 +458,28 @@ def test_eig_extrapolation_is_per_degree():
         ops, invd, b0s, use_op_dot=True, extrapolate_above=thresh,
     )
     assert est_nodeg[2][0] < exact[2][0]  # documents the hazard fixed above
+
+
+@pytest.mark.parametrize(
+    "typ", ["PMG", "HPMG", "HMG-local", "HPMG-local", "HMG-global"]
+)
+def test_all_types_under_production_flags(typ, monkeypatch):
+    """Every solver variant solves correctly with the FULL TPU production
+    pipeline forced on (DEFAULT_POLICY engages it on any non-CPU
+    platform; ineligible levels — p-transfers, tiny patches — must fall
+    back gracefully, never crash or change convergence)."""
+    for k in ("MGTPU_TV", "MGTPU_TCFACES", "MGTPU_TSPLIT", "MGTPU_ROWSF",
+              "MGTPU_TVCYCLE", "MGTPU_TTRANSFER", "MGTPU_TSTENCIL",
+              "MGTPU_ROW_SINGLE", "MGTPU_TEXCHANGE", "MGTPU_LS_ROWCOPY"):
+        monkeypatch.setenv(k, "1")
+    monkeypatch.setenv("MGTPU_KADAPT", "256")
+    monkeypatch.setenv("MGTPU_GC_CHAIN", "3")
+    monkeypatch.setenv("MGTPU_LS_CHAIN", "4")
+    res, prob, _ = api.run(_params(typ, 3, p=3))
+    assert res.converged
+    assert res.n_iterations <= 8
+    rres = float(
+        jnp.linalg.norm(prob.rhs - prob.op.vmult(res.x))
+        / jnp.linalg.norm(prob.rhs)
+    )
+    assert rres < 1.1e-4
