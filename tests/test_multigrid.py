@@ -483,3 +483,23 @@ def test_all_types_under_production_flags(typ, monkeypatch):
         / jnp.linalg.norm(prob.rhs)
     )
     assert rres < 1.1e-4
+
+
+def test_annulus_under_production_flags(monkeypatch):
+    """Annulus (the richest hanging-node structure of the five geometries)
+    under the full production pipeline — insurance for the TPU sweep
+    families, which run every geometry with DEFAULT_POLICY flags on."""
+    for k in ("MGTPU_TV", "MGTPU_TCFACES", "MGTPU_TSPLIT", "MGTPU_ROWSF",
+              "MGTPU_TVCYCLE", "MGTPU_TTRANSFER", "MGTPU_TSTENCIL",
+              "MGTPU_ROW_SINGLE", "MGTPU_TEXCHANGE"):
+        monkeypatch.setenv(k, "1")
+    monkeypatch.setenv("MGTPU_KADAPT", "256")
+    prm = _params("HMG-global", 2, p=3)
+    prm.geometry_type = "annulus"
+    res, prob, _ = api.run(prm)
+    assert res.converged
+    rres = float(
+        jnp.linalg.norm(prob.rhs - prob.op.vmult(res.x))
+        / jnp.linalg.norm(prob.rhs)
+    )
+    assert rres < 1.1e-4
