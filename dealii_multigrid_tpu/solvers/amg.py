@@ -192,6 +192,29 @@ jax.tree_util.register_dataclass(
 )
 
 
+def _lam_max_dinv_a(A: sp.csr_matrix, d: np.ndarray, iters: int = 12) -> float:
+    """Power-iteration estimate of lambda_max(D^-1 A) (host, SciPy).
+
+    D^-1 A is similar to the SPD D^-1/2 A D^-1/2, so the power method
+    converges to the true spectral radius; 12 iterations + 5% headroom
+    bounds it well enough for a smoother-weight clamp (an underestimate
+    only re-approaches the nominal omega, never over-relaxes past it by
+    more than the headroom)."""
+    n = A.shape[0]
+    dinv = 1.0 / np.where(d == 0, 1.0, d)
+    rng = np.random.default_rng(12)
+    v = rng.standard_normal(n)
+    v /= np.linalg.norm(v)
+    lam = 1.0
+    for _ in range(iters):
+        w = dinv * (A @ v)
+        lam = float(np.linalg.norm(w))
+        if lam == 0.0 or not np.isfinite(lam):
+            return 2.0
+        v = w / lam
+    return 1.05 * lam
+
+
 def build_amg(
     A: sp.csr_matrix,
     dtype=jnp.float32,
@@ -212,11 +235,19 @@ def build_amg(
     P_for_level = None
     while True:
         d = A.diagonal()
+        # Weighted Jacobi diverges when omega >= 2/lambda_max(D^-1 A); on
+        # aggressive/classical hierarchies the Galerkin coarse operators can
+        # push lambda_max past 2.2, where the boomer-analog's omega=0.9
+        # amplifies every sweep (measured: NaN residual at r=6/p=4
+        # truncated HPMG, reproduced on CPU).  Clamp per level to the
+        # hypre-style spectral rule; the clamp is inactive where the
+        # nominal omega is already safe (ML-analog 2/3 at lambda <= 2.7).
+        lam = _lam_max_dinv_a(A, d)
         lev = AMGLevel(
             A=_to_ell(A, dtype),
             P=P_for_level,
             inv_diag=to_device(1.0 / np.where(d == 0, 1.0, d), dtype),
-            omega=omega,
+            omega=min(omega, 1.8 / lam),
         )
         levels.append(lev)
         if A.shape[0] <= coarse_size or len(levels) >= max_levels:
