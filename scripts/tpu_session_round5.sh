@@ -22,11 +22,14 @@ if [ -f /tmp/sweep.pid ]; then
   while kill -0 "$(cat /tmp/sweep.pid)" 2>/dev/null; do sleep 20; done
 fi
 
-# 1a. quadrant resume: count already-captured configs from the artifact
-DONE=$(grep -c '^# ran input_' results/small-scaling-quadrant-tpu.txt 2>/dev/null || echo 0)
-mark "1a quadrant resume skip-n=$DONE"
+# 1a. quadrant resume.  The round-4 session captured config 0 into the
+# main artifact and configs 19 (r7/p4 GC) + 14,15 (r6/p4) into
+# *-r7p4.txt / *-r6p4.txt part files; resume from config 1 — the three
+# already-captured configs rerun at warm cache (cheap) and the part
+# files remain the canonical rows if the rerun is budget-cut.
+mark "1a quadrant resume skip-n=1"
 timeout 7200 python experiments/run_experiment.py small-scaling quadrant \
-  --max-ref 7 --budget-s 6000 --isolate --skip-n "$DONE" \
+  --max-ref 7 --budget-s 6000 --isolate --skip-n 1 \
   --out results/small-scaling-quadrant-tpu-part2.txt \
   > /tmp/sweep_quadrant_r5.log 2>&1
 
