@@ -86,8 +86,13 @@ DEFAULT_POLICY: dict[str, str] = {
     # clean on chip).  Same-session A/B at quadrant r=6/p=4 (2026-08-19):
     # host-loop 0.1839 s / 37.6 MDoF/s -> chain 0.1334 s / 51.9 MDoF/s,
     # 3 iterations both — the LS/GC gap closes to ~1x.  "0" falls back to
-    # the host loop on accelerators (never the while_loop).
-    "MGTPU_LS_CHAIN": "4",
+    # the host loop on accelerators (never the while_loop).  k0 retuned
+    # 4 -> 3 (round-4j A/B under the ROWSF+TVCYCLE pipeline, 2026-08-20):
+    # LS converges in 3 at the bench configs, so the masked 4th iteration
+    # burned one V-cycle — chain k0=3 0.1070 s / 64.6 MDoF/s vs k0=4
+    # 0.1618 / 42.7 vs host-loop 0.1493 / 46.3 at r=6/p=4, results
+    # provably unchanged (masked-freeze + recomputed-residual guard).
+    "MGTPU_LS_CHAIN": "3",
     # dense-plane structured patch faces in tv mode (one blended strided-slab
     # update / one slab read per (d, side) per round, one-hot patch routing,
     # instead of element-priced flat face tables): TPU-measured at r=7/p=4
