@@ -57,18 +57,22 @@ def _save_last_good(out: dict) -> None:
             pass
 
 
+def _last_good() -> dict | None:
+    for path in (_LAST_GOOD, _LAST_GOOD_SEED):
+        try:
+            with open(path) as f:
+                return json.load(f)
+        except (OSError, ValueError):
+            continue
+    return None
+
+
 def _emit_stale(reason: str) -> int:
     """The axon service can be down for hours at capture time (round-3
     outage cost the whole round's perf artifact).  Rather than rc=1, emit
     the last driver-visible measurement, clearly marked stale."""
-    for path in (_LAST_GOOD, _LAST_GOOD_SEED):
-        try:
-            with open(path) as f:
-                out = json.load(f)
-            break
-        except (OSError, ValueError):
-            continue
-    else:
+    out = _last_good()
+    if out is None:
         return _emit({
             "metric": "mg_cg_throughput_quadrant_p4_1chip",
             "value": 0.0, "unit": "DoF/s", "vs_baseline": 0.0,
@@ -79,38 +83,53 @@ def _emit_stale(reason: str) -> int:
     return _emit(out)
 
 
-def _backend_up(timeout_s: float = 240.0) -> bool:
-    """Probe backend init in a subprocess (init failure can poison the
-    process-wide backend cache; a hung tunnel needs a hard timeout)."""
-    import subprocess
-
-    code = ("import jax; jax.devices(); import jax.numpy as jnp; "
-            "float((jnp.arange(8.0)**2).sum()); print('OK')")
-    try:
-        r = subprocess.run([sys.executable, "-c", code], timeout=timeout_s,
-                           capture_output=True, text=True)
-        return r.returncode == 0 and "OK" in r.stdout
-    except subprocess.TimeoutExpired:
-        return False
+def _emit_provisional() -> None:
+    """FIRST thing main() does: print a stale-marked last-good row and
+    flush.  The driver parses the LAST JSON line of stdout, so a fresh
+    measurement later in the run supersedes this one — but if the driver's
+    timeout kills the process mid-measurement (BENCH_r04: rc=124, parsed
+    null), this line is what lands instead of nothing."""
+    _emit_stale("provisional: printed at startup; superseded by any later "
+                "line (process may have been killed mid-measurement)")
+    sys.stdout.flush()
 
 
-def _wait_for_backend(attempts: int = 5) -> bool:
-    delay = 30.0
-    for i in range(attempts):
-        if _backend_up():
-            return True
-        print(f"bench: backend init attempt {i + 1}/{attempts} failed; "
-              f"retrying in {delay:.0f}s", file=sys.stderr)
-        time.sleep(delay)
-        delay = min(delay * 2.0, 480.0)
-    return False
+def _init_backend_with_watchdog(timeout_s: float = 300.0):
+    """Init the real backend in-process under a hard deadline.
+
+    Round-4 lesson (BENCH_r04 rc=124): a 930 s+ probe/retry ladder blew the
+    driver timeout before any fallback line printed.  Round-5 design: the
+    provisional stale line is ALREADY on stdout, a healthy axon init takes
+    ~95 s (measured 2026-08-20), and a hung tunnel is converted into a clean
+    rc=0 stale exit by a watchdog thread — no subprocess probe, so the ~95 s
+    init cost is paid once, not twice.  Init *failure* (exception) falls
+    through to the caller's stale handler."""
+    import threading
+
+    done = threading.Event()
+
+    def _watchdog():
+        if not done.wait(timeout_s):
+            _emit_stale(f"backend init exceeded {timeout_s:.0f}s watchdog "
+                        "(axon tunnel hung)")
+            sys.stdout.flush()
+            os._exit(0)
+
+    threading.Thread(target=_watchdog, daemon=True).start()
+    import jax
+
+    jax.devices()  # forces backend init through the tunnel
+    done.set()
+    return jax
 
 
 def main() -> int:
-    if not _wait_for_backend():
-        return _emit_stale("backend init failed after retries "
-                           "(axon service unavailable)")
-    import jax
+    _emit_provisional()
+    try:
+        jax = _init_backend_with_watchdog()
+    except Exception as exc:  # noqa: BLE001 - axon service down
+        return _emit_stale("backend init failed: "
+                           f"{type(exc).__name__}: {exc}")
 
     import dealii_multigrid_tpu as _pkg
 

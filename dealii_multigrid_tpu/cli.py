@@ -40,6 +40,20 @@ def run_config(params: RunParameters, table: ConvergenceTable) -> None:
     table.add_value("degree", params.fe_degree_fine)
     table.add_value("n_ref_global", params.n_ref_global)
     table.add_value("n_ref_local", params.n_ref_local)
+    # Swept-knob identity columns.  The parameter-study families
+    # (tolerance/weights/hp-amg/smoother-degree/mgnumber) emit many rows per
+    # mesh identity; without these the artifact rows are indistinguishable
+    # and merge_artifacts dedup collapses real measurements (round-4
+    # advisor finding).  The reference distinguishes such rows only by
+    # input-file order (multigrid_throughput.cc:2420-2442).
+    table.add_value("min_level", params.min_level)
+    table.add_value("coarse_type", params.mg_data.coarse_solver.type)
+    table.add_value("n_cycles", params.mg_data.coarse_solver.n_cycles)
+    table.add_value("smoother_deg", params.mg_data.smoother.degree)
+    table.add_value("reltol", params.mg_data.cg_normal.reltol)
+    table.add_value("number", params.number_type)
+    table.add_value("mg_number", params.mg_number_type)
+    table.add_value("policy", params.effective_policy_name() or "Default")
 
     result, problem, levels = api.dispatch_solve(params, mesh)
 

@@ -90,8 +90,12 @@ DEFAULT_POLICY: dict[str, str] = {
     # 4 -> 3 (round-4j A/B under the ROWSF+TVCYCLE pipeline, 2026-08-20):
     # LS converges in 3 at the bench configs, so the masked 4th iteration
     # burned one V-cycle — chain k0=3 0.1070 s / 64.6 MDoF/s vs k0=4
-    # 0.1618 / 42.7 vs host-loop 0.1493 / 46.3 at r=6/p=4, results
-    # provably unchanged (masked-freeze + recomputed-residual guard).
+    # 0.1618 / 42.7 at r=6/p=4, results provably unchanged (masked-freeze
+    # + recomputed-residual guard).  CAVEAT (round-4 advisor): that A/B's
+    # "host-loop 0.1493 / 46.3" arm popped the env var, which falls back
+    # to this DEFAULT_POLICY — it actually measured chain k0=4 again; the
+    # genuine host-loop row (probe arm now pins "0") was re-measured
+    # round-5: see RESULTS.md.
     "MGTPU_LS_CHAIN": "3",
     # dense-plane structured patch faces in tv mode (one blended strided-slab
     # update / one slab read per (d, side) per round, one-hot patch routing,
@@ -129,6 +133,28 @@ DEFAULT_POLICY: dict[str, str] = {
     # consistent input (2.6e-7) on chip and in CI.
     "MGTPU_TVCYCLE": "1",
 }
+
+
+def pin_policy_env(setenv, force_shape_conditional: bool = True) -> None:
+    """Pin the SHIPPED DEFAULT_POLICY through env vars (CI helper).
+
+    The CPU backend ignores policy defaults (no tile-padding tax), so the
+    production-pipeline tests must pin values through env — and they must
+    pin THESE values, not hand-copied ones that can silently diverge from
+    what ships (round-4: a test pinned MGTPU_LS_CHAIN=4 while the policy
+    shipped "3").  ``setenv`` is e.g. pytest's monkeypatch.setenv.
+
+    ``force_shape_conditional=True`` (the default for tests) rewrites
+    shape-conditional values ("np>=256") and the adaptive-K target to
+    engage at tiny CI shapes — otherwise the conditioned paths would
+    silently self-disable and the test would cover nothing.
+    """
+    for k, v in DEFAULT_POLICY.items():
+        if force_shape_conditional and any(
+            dim in v for dim in ("np", "nc", "ns")
+        ):
+            v = "1"
+        setenv(k, v)
 
 
 def kadapt_target() -> int:

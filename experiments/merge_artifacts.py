@@ -16,7 +16,22 @@ from __future__ import annotations
 
 import sys
 
-KEY = ("type", "geometry", "degree", "n_ref_global", "n_ref_local")
+# Dedup identity = the FULL row minus measurement columns.  Parameter-study
+# families (tolerance/weights/hp-amg/...) legitimately contain many rows per
+# (type, geometry, degree, n_ref) identity — keying on those five columns
+# alone silently collapsed 9 hp-amg rows to 3 (round-4 advisor finding).
+MEASUREMENT_COLS = frozenset({
+    "time", "time_cg", "time_per_it", "throughput", "n_iterations",
+    "converged", "setup_time", "solve_time", "l2_error", "eff",
+    "workload_eff", "workload_path_max", "vertical_eff", "horizontal_eff",
+    "mem_total", "time_setup", "time_solve", "mdofs",
+})
+
+
+def _row_key(r: dict) -> tuple:
+    return tuple(sorted(
+        (k, v) for k, v in r.items() if k not in MEASUREMENT_COLS
+    ))
 
 
 def parse(path: str) -> tuple[list[str], list[dict]]:
@@ -46,23 +61,43 @@ def main() -> int:
         raise SystemExit("usage: merge_artifacts.py out.txt part1.txt ...")
     merged: dict[tuple, dict] = {}
     provenance = []
+    header: list[str] = []
     for p in parts:
         comments, rows = parse(p)
         provenance.append(f"# merged from: {p} ({len(rows)} rows)")
+        seen_here: set[tuple] = set()
         for r in rows:
-            merged[tuple(r.get(k, "") for k in KEY)] = r
+            for col in r:
+                if col not in header:
+                    header.append(col)
+            key = _row_key(r)
+            if key in seen_here:
+                print(f"warning: {p}: duplicate config row (same identity "
+                      f"columns) — later row wins: {key}", file=sys.stderr)
+            seen_here.add(key)
+            merged[key] = r
+
+    def num(s: str) -> float:
+        try:
+            return float(s)
+        except ValueError:
+            return 0.0
 
     def order(r: dict):
-        num = lambda s: float(s) if s.replace(".", "", 1).isdigit() else 0
         return (
             num(r.get("n_ref_global", "0")),
             num(r.get("n_ref_local", "0")),
             num(r.get("degree", "0")),
             r.get("type", ""),
+            _row_key(r),
         )
 
     rows = sorted(merged.values(), key=order)
-    header = list(rows[0].keys())
+    if not rows:
+        raise SystemExit(
+            "merge_artifacts: no data rows parsed from any input (all parts "
+            "comment-only?) — nothing to write"
+        )
     widths = [
         max(len(h), *(len(r.get(h, "")) for r in rows)) for h in header
     ]

@@ -45,11 +45,12 @@ def main():
 
     mesh = generators.create("quadrant", 3, r, 0)
 
-    for mode, env in (("host-loop", None), (f"chain k0={k0}", k0)):
-        if env is None:
-            os.environ.pop("MGTPU_LS_CHAIN", None)
-        else:
-            os.environ["MGTPU_LS_CHAIN"] = env
+    # baseline arm sets "0" EXPLICITLY (0 = host loop on accelerators):
+    # popping the env var falls back to DEFAULT_POLICY, which already ships
+    # a chain value — the round-4 "host-loop" arm silently measured chain
+    # k0=4 (advisor finding), so the arms must pin their values.
+    for mode, env in (("host-loop", "0"), (f"chain k0={k0}", k0)):
+        os.environ["MGTPU_LS_CHAIN"] = env
         t0 = time.time()
         try:
             res, _, _ = api.solve_with_local_smoothing_hybrid(params, mesh)

@@ -33,6 +33,14 @@ if os.environ.get("MGTPU_PLATFORM"):  # CPU smoke-testing
         "jax_platforms", os.environ["MGTPU_PLATFORM"]
     )
 
+# dtype=jnp.float64 below is silently truncated to f32 without this (and
+# the reltol=1e-8 rows would report converged while the true residual sits
+# at ~1e-6/1e-4 — round-4 advisor HIGH finding).  Must run before any jnp
+# array creation.
+import jax as _jax_x64
+
+_jax_x64.config.update("jax_enable_x64", True)
+
 import sys
 import time
 
@@ -67,13 +75,20 @@ def _solve_row(tag, op, tri, b, m, reltol, maxiter, n_reps):
         op, bj, res.x, res.residual_norm, reltol
     )
     rel_true = float(tr / np.linalg.norm(np.asarray(b)))
+    # an in-solver "converged" that the recomputed residual contradicts by
+    # >50x is a lie (precision truncation or miscompile) — fail the row
+    # rather than publish it (round-4 advisor HIGH finding)
+    converged = bool(res.converged) and rel_true <= 50.0 * reltol
     thr = n_dofs * its / best
     print(
-        f"{tag}: n_dofs={n_dofs} its={its} converged={bool(res.converged)} "
+        f"{tag}: n_dofs={n_dofs} its={its} converged={converged} "
         f"solve={best:.4f}s (warm-up {t_warm:.1f}s) "
         f"throughput={thr/1e6:.2f} MDoF/s true_rel_res={rel_true:.2e}",
         flush=True,
     )
+    if not converged:
+        print(f"{tag}: ROW FAILED — true relative residual {rel_true:.2e} "
+              f"vs reltol {reltol:g}", flush=True)
     return thr
 
 

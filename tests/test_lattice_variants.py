@@ -435,6 +435,47 @@ def test_variant_flag_grammar(monkeypatch):
         variant_flag("MGTPU_X", np=1)
 
 
+def test_default_policy_entries_parse(monkeypatch):
+    """Every DEFAULT_POLICY entry must parse under the consumer it feeds
+    (variant_flag grammar / _chain_k / kadapt int) — a malformed default
+    would otherwise only surface on a real TPU session (round-4 verdict
+    weak #3 follow-up: CI must cover the shipped composition verbatim)."""
+    from dealii_multigrid_tpu.utils import flags
+
+    chain_keys = {"MGTPU_GC_CHAIN", "MGTPU_LS_CHAIN"}
+    int_keys = {"MGTPU_KADAPT"}
+    for k, v in flags.DEFAULT_POLICY.items():
+        monkeypatch.setenv(k, v)
+        if k in chain_keys or k in int_keys:
+            assert int(v or "0") >= 0
+        else:
+            # must evaluate (not raise) for both operator- and
+            # transfer-shaped dimension sets
+            flags.variant_flag(k, np=512, ns=4000)
+            flags.variant_flag(k, nc=64)
+
+
+def test_pin_policy_env_matches_shipped(monkeypatch):
+    """pin_policy_env must hand tests the SHIPPED values (modulo the
+    documented shape-conditional force-on), so a flag default change
+    cannot silently diverge from what CI covers."""
+    from dealii_multigrid_tpu.utils import flags
+
+    pinned: dict = {}
+    flags.pin_policy_env(pinned.__setitem__)
+    assert set(pinned) == set(flags.DEFAULT_POLICY)
+    for k, v in flags.DEFAULT_POLICY.items():
+        if any(d in v for d in ("np", "nc", "ns")):
+            assert pinned[k] == "1"
+        else:
+            assert pinned[k] == v
+    # chain defaults reach the solver-side readers verbatim
+    for k in ("MGTPU_GC_CHAIN", "MGTPU_LS_CHAIN"):
+        monkeypatch.setenv(k, pinned[k])
+    assert flags.gc_chain_k() == int(flags.DEFAULT_POLICY["MGTPU_GC_CHAIN"])
+    assert flags.ls_chain_k() == int(flags.DEFAULT_POLICY["MGTPU_LS_CHAIN"])
+
+
 def test_default_policy_gated_off_on_cpu(monkeypatch):
     # DEFAULT_POLICY holds TPU-measured winners: on a process that forces
     # the CPU platform (this suite) the policy must NOT apply, while an

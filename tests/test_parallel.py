@@ -341,11 +341,9 @@ def test_sharded_solve_under_production_flags(monkeypatch):
         pytest.skip("needs 8 virtual devices")
     from dealii_multigrid_tpu.utils.params import RunParameters
 
-    for k in ("MGTPU_TV", "MGTPU_TCFACES", "MGTPU_TSPLIT", "MGTPU_ROWSF",
-              "MGTPU_TVCYCLE", "MGTPU_TTRANSFER", "MGTPU_TSTENCIL",
-              "MGTPU_ROW_SINGLE", "MGTPU_TEXCHANGE"):
-        monkeypatch.setenv(k, "1")
-    monkeypatch.setenv("MGTPU_KADAPT", "256")
+    from dealii_multigrid_tpu.utils import flags
+
+    flags.pin_policy_env(monkeypatch.setenv)
 
     def solve(n_shards):
         prm = RunParameters()
