@@ -1,16 +1,24 @@
-"""Right-preconditioned restarted GMRES(m), fully jittable.
+"""Flexible right-preconditioned restarted GMRES(m), fully jittable.
 
-The deal.II SolverGMRES equivalent (the reference's solver stack exposes
-CG for the SPD Poisson benchmarks; GMRES serves the nonsymmetric /
-block-triangular-preconditioned saddle solves of the mantle-convection
-workload, models/stokes.py).  TPU-shaped: the Arnoldi basis lives as one
-[m+1, n] matrix so orthogonalisation is two GEMVs against the whole
-basis per step (masked modified-Gram-Schmidt — no dynamic shapes), the
-Hessenberg/Givens bookkeeping is O(m^2) scalars, and the whole solve is
-one lax.while_loop program.
+The deal.II SolverGMRES/SolverFGMRES equivalent (the reference's solver
+stack exposes CG for the SPD Poisson benchmarks; GMRES serves the
+nonsymmetric / block-triangular-preconditioned saddle solves of the
+mantle-convection workload, models/stokes.py).  TPU-shaped: the Arnoldi
+basis lives as one [m+1, n] matrix so orthogonalisation is two GEMVs
+against the whole basis per step (masked modified-Gram-Schmidt — no
+dynamic shapes), the Hessenberg/Givens bookkeeping is O(m^2) scalars,
+and the whole solve is one lax.while_loop program.
 
 Right preconditioning keeps the residual the TRUE residual (no M-norm
-ambiguity): solve A M u = b, x = M u.
+ambiguity).  FLEXIBLE variant (Saad 1993): the preconditioned vectors
+z_j = M v_j are stored and the update is x += Z y — not x += M(V y).
+With an exactly linear M the two are identical; our production M (GMG
+V-cycles with f32 level solves inside an f64 outer) is linear only to
+~1e-10 relative, and plain right-preconditioning lets that error break
+the Givens-recurrence/true-residual agreement by orders of magnitude
+over a restart cycle (measured 120x on the nsinker row, round-5).
+FGMRES makes the recurrence exact for whatever M actually did, at the
+cost of one extra [m, n] buffer.
 """
 
 from __future__ import annotations
@@ -58,18 +66,21 @@ def gmres_solve(
 
         V = jnp.zeros((m + 1, n), dtype)
         V = V.at[0].set(jnp.where(beta > 0, r / jnp.maximum(beta, 1e-300), r))
+        Z = jnp.zeros((m, n), dtype)  # flexible: stored M v_j
         H = jnp.zeros((m + 1, m), dtype)
         cs = jnp.zeros(m, dtype)
         sn = jnp.zeros(m, dtype)
         g = jnp.zeros(m + 1, dtype).at[0].set(beta)
 
         def cond(st):
-            V, H, cs, sn, g, j, res = st
+            V, Z, H, cs, sn, g, j, res = st
             return (res > tol) & (j < m)
 
         def body(st):
-            V, H, cs, sn, g, j, res = st
-            w = a_vmult(preconditioner(V[j]))
+            V, Z, H, cs, sn, g, j, res = st
+            z = preconditioner(V[j])
+            Z = Z.at[j].set(z)
+            w = a_vmult(z)
             # masked modified Gram-Schmidt: project against rows 0..j in one
             # GEMV pair (rows > j are zero, their dots are harmless but
             # masked anyway for exactness)
@@ -105,10 +116,10 @@ def gmres_solve(
             sn = sn.at[j].set(s_new)
             g = g.at[j + 1].set(-s_new * g[j]).at[j].set(c_new * g[j])
             H = H.at[:, j].set(col)
-            return (V, H, cs, sn, g, j + 1, jnp.abs(g[j + 1]))
+            return (V, Z, H, cs, sn, g, j + 1, jnp.abs(g[j + 1]))
 
-        V, H, cs, sn, g, j, res = jax.lax.while_loop(
-            cond, body, (V, H, cs, sn, g, jnp.asarray(0, jnp.int32), beta)
+        V, Z, H, cs, sn, g, j, res = jax.lax.while_loop(
+            cond, body, (V, Z, H, cs, sn, g, jnp.asarray(0, jnp.int32), beta)
         )
 
         # solve the (padded) triangular system R y = g for the first j
@@ -118,7 +129,7 @@ def gmres_solve(
         R = H[:m, :] + jnp.diag(jnp.where(idx < j, 0.0, 1.0).astype(dtype))
         rhs = jnp.where(idx < j, g[:m], 0.0)
         y = jax.scipy.linalg.solve_triangular(R, rhs, lower=False)
-        x = x0 + preconditioner(y @ V[:m])
+        x = x0 + y @ Z  # flexible update: the stored z_j, not M(V y)
         return x, j, res
 
     def cond(st):
@@ -198,7 +209,9 @@ def verify_true_residual(fop, b, x, claimed_res, reltol, abstol=1e-50,
 
 @jax.jit
 def _host_apply(fop, precond, v):
-    return fop.vmult(precond.vmult(v))
+    """Returns (z, w) = (M v, A M v) — z is stored for the flexible update."""
+    z = precond.vmult(v)
+    return z, fop.vmult(z)
 
 
 @jax.jit
@@ -229,8 +242,8 @@ def _host_orth(V, w, j):
 
 
 @jax.jit
-def _host_form_update(precond, V, y, x):
-    return x + precond.vmult(y @ V[:-1])
+def _host_form_update(Z, y, x):
+    return x + y @ Z  # flexible: the stored z_j, not M(V y)
 
 
 def gmres_solve_host(
@@ -243,9 +256,9 @@ def gmres_solve_host(
     reltol: float = 1e-8,
     check: bool = True,
 ) -> GMRESResult:
-    """GMRES(m) with identical algebra to gmres_solve, but each A / M
-    application is its own jitted program (operators as pytree ARGUMENTS)
-    and the Arnoldi/Givens bookkeeping runs on the host in f64.
+    """Flexible GMRES(m) with identical algebra to gmres_solve, but each
+    A / M application is its own jitted program (operators as pytree
+    ARGUMENTS) and the Arnoldi/Givens bookkeeping runs on the host in f64.
 
     ``fop`` / ``preconditioner`` follow the operator-pytree protocol
     (``.vmult``; see cg_solve_host).  Safe on the axon backend at the cost
@@ -274,6 +287,7 @@ def gmres_solve_host(
             break
         res_prev_cycle = beta
         V = _host_start(jnp.zeros((m + 1, b.shape[0]), dtype), r, beta_dev)
+        Z = jnp.zeros((m, b.shape[0]), dtype)  # flexible: stored M v_j
         H = np.zeros((m + 1, m))
         cs = np.zeros(m)
         sn = np.zeros(m)
@@ -281,7 +295,8 @@ def gmres_solve_host(
         g[0] = beta
         j = 0
         while j < m and res > tol and total + j < maxiter:
-            w = _host_apply(fop, preconditioner, V[j])
+            z, w = _host_apply(fop, preconditioner, V[j])
+            Z = Z.at[j].set(z)
             V, h_dev, hnext_dev = _host_orth(V, w, jnp.asarray(j, jnp.int32))
             col = np.array(h_dev, np.float64)  # copy: asarray views are read-only
             col[j + 1] = float(hnext_dev)
@@ -303,8 +318,7 @@ def gmres_solve_host(
         if j > 0:
             y = np.zeros(m)
             y[:j] = np.linalg.solve(H[:j, :j], g[:j])
-            x = _host_form_update(preconditioner, V,
-                                  jnp.asarray(y, dtype), x)
+            x = _host_form_update(Z, jnp.asarray(y, dtype), x)
         else:
             break
         converged = res <= tol
