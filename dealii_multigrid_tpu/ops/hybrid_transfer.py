@@ -21,6 +21,7 @@ constraint transpose.
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 
 import jax
@@ -83,8 +84,16 @@ class HybridTransfer:
     # transposed-transfer machinery (lane-dense; RESULTS.md round-3c): per
     # patch bucket a one-hot [NP_c, NP_f] routing matrix so ALL buckets share
     # ONE leading-axis interpolation chain on [*, NP_f]-lane arrays instead
-    # of per-bucket ops on the 10.6x-tile-padded [n, sub, sub, sub] views
+    # of per-bucket ops on the 10.6x-tile-padded [n, sub, sub, sub] views.
+    # BANDED form (round-5, the NP >> 128 path): when NP_c * NP_f exceeds
+    # the one-hot budget, the entry is a TUPLE of per-lane-tile one-hots
+    # H_j [W, T] with static window starts in *_hot_starts — patches are
+    # Morton-sorted on both levels, so the lane map is monotone and the
+    # routing is a narrow band: storage O(NP_f * W) instead of O(NP_c*NP_f),
+    # same MXU GEMM structure per tile.
     patch_hot: tuple = ()
+    patch_hot_starts: tuple = ()   # static: per bucket None (full) | (s_j,...)
+    id_oct_starts: tuple = ()      # static: per id_oct bucket None | (s_j,...)
     id_oct_offsets: tuple = ()     # static (dx, dy, dz) per id_oct bucket
     use_ttransfer: bool = False
     # local-smoothing mode (MGTransferMatrixFree semantics,
@@ -118,6 +127,51 @@ class HybridTransfer:
         r = _axis_apply(r, ET, 2)
         return _axis_apply(r, ET, 3)
 
+    def _patch_starts(self):
+        return self.patch_hot_starts or (None,) * len(self.patch_hot)
+
+    def _oct_starts(self):
+        return self.id_oct_starts or (None,) * len(self.id_oct)
+
+    # ------------------------------------------------ lane routing
+    # One-hot routing along the minor (lane) axis: full [NP_c, NP_f] GEMM
+    # when small, banded per-tile GEMMs with STATIC window slices when
+    # large (lane gathers are element-priced on TPU; static slice + small
+    # GEMM stays on the MXU).
+
+    def _lanes_to_fine(self, w: jax.Array, hot, starts, dtype) -> jax.Array:
+        """[..., NP_c] -> [..., NP_f] (prolong direction)."""
+        if starts is None:
+            return jnp.tensordot(
+                w, hot.astype(dtype), axes=([-1], [0]), precision=HIGHEST
+            )
+        chunks = []
+        for s, Hj in zip(starts, hot):
+            win = jax.lax.slice_in_dim(w, s, s + Hj.shape[0], axis=-1)
+            chunks.append(jnp.tensordot(
+                win, Hj.astype(dtype), axes=([-1], [0]), precision=HIGHEST
+            ))
+        return jnp.concatenate(chunks, axis=-1)
+
+    def _lanes_to_coarse(self, v: jax.Array, hot, starts, dtype,
+                         np_c: int) -> jax.Array:
+        """[..., NP_f] -> [..., NP_c] (restrict direction, transposed)."""
+        if starts is None:
+            return jnp.tensordot(
+                v, hot.astype(dtype), axes=([-1], [1]), precision=HIGHEST
+            )
+        acc = jnp.zeros(v.shape[:-1] + (np_c,), dtype)
+        off = 0
+        for s, Hj in zip(starts, hot):
+            tile = Hj.shape[1]
+            g = jnp.tensordot(
+                jax.lax.slice_in_dim(v, off, off + tile, axis=-1),
+                Hj.astype(dtype), axes=([-1], [1]), precision=HIGHEST,
+            )
+            acc = acc.at[..., s : s + Hj.shape[0]].add(g)
+            off += tile
+        return acc
+
     def _interp_lead(self, u: jax.Array) -> jax.Array:
         """[sub, sub, sub, L] -> [S_f, S_f, S_f, L]: E1 along leading axes,
         lanes untouched."""
@@ -149,20 +203,19 @@ class HybridTransfer:
             vt = None
             if self.patch_buckets:
                 acc = None
-                for ((_f, _c, _ch), (ox, oy, oz), H) in zip(
-                    self.patch_buckets, self.patch_offsets, self.patch_hot
+                for ((_f, _c, _ch), (ox, oy, oz), H, st) in zip(
+                    self.patch_buckets, self.patch_offsets, self.patch_hot,
+                    self._patch_starts(),
                 ):
                     w = uct[ox : ox + sub, oy : oy + sub, oz : oz + sub, :]
-                    term = jnp.tensordot(
-                        w, H.astype(dtype), axes=([3], [0]), precision=HIGHEST
-                    )
+                    term = self._lanes_to_fine(w, H, st, dtype)
                     acc = term if acc is None else acc + term
                 vt = self._interp_lead(acc)
             if self.id_oct:
                 if vt is None:
                     vt = jnp.zeros((S_f, S_f, S_f, self.NP_f), dtype)
-                for (_sr, _fr, H), (dx, dy, dz) in zip(
-                    self.id_oct, self.id_oct_offsets
+                for (_sr, _fr, H), (dx, dy, dz), st in zip(
+                    self.id_oct, self.id_oct_offsets, self._oct_starts()
                 ):
                     w = uct[dx:, dy:, dz:, :]
                     vt = vt.at[
@@ -170,12 +223,7 @@ class HybridTransfer:
                         dy * S_c : dy * S_c + S_c - dy,
                         dz * S_c : dz * S_c + S_c - dz,
                         :,
-                    ].add(
-                        jnp.tensordot(
-                            w, H.astype(dtype), axes=([3], [0]),
-                            precision=HIGHEST,
-                        )
-                    )
+                    ].add(self._lanes_to_fine(w, H, st, dtype))
             out2 = vt.reshape(S_f**3, self.NP_f).T
         if self.id_bucket is not None:
             fidx, cidx = self.id_bucket
@@ -273,17 +321,16 @@ class HybridTransfer:
             acc_t = jnp.zeros((S_c, S_c, S_c, cop.NP), dtype)
             if self.patch_buckets:
                 v = self._interp_lead_t(rt)  # [sub, sub, sub, NP_f]
-                for ((_f, _c, _ch), (ox, oy, oz), H) in zip(
-                    self.patch_buckets, self.patch_offsets, self.patch_hot
+                for ((_f, _c, _ch), (ox, oy, oz), H, st) in zip(
+                    self.patch_buckets, self.patch_offsets, self.patch_hot,
+                    self._patch_starts(),
                 ):
-                    g = jnp.tensordot(
-                        v, H.astype(dtype), axes=([3], [1]), precision=HIGHEST
-                    )
+                    g = self._lanes_to_coarse(v, H, st, dtype, cop.NP)
                     acc_t = acc_t.at[
                         ox : ox + sub, oy : oy + sub, oz : oz + sub, :
                     ].add(g)
-            for (_sr, _fr, H), (dx, dy, dz) in zip(
-                self.id_oct, self.id_oct_offsets
+            for (_sr, _fr, H), (dx, dy, dz), st in zip(
+                self.id_oct, self.id_oct_offsets, self._oct_starts()
             ):
                 w = rt[
                     dx * S_c : dx * S_c + S_c - dx,
@@ -291,9 +338,7 @@ class HybridTransfer:
                     dz * S_c : dz * S_c + S_c - dz,
                     :,
                 ]
-                g = jnp.tensordot(
-                    w, H.astype(dtype), axes=([3], [1]), precision=HIGHEST
-                )
+                g = self._lanes_to_coarse(w, H, st, dtype, cop.NP)
                 acc_t = acc_t.at[dx:, dy:, dz:, :].add(g)
             acc2 = acc_t.reshape(S_c**3, cop.NP).T
         if acc2 is not None and self.id_bucket is not None:
@@ -433,18 +478,16 @@ class HybridTransfer:
             acc_t = jnp.zeros((S_c, S_c, S_c, cop.NP), dtype)
             if self.patch_buckets:
                 v = self._interp_lead_t(rt)
-                for ((_f, _c, _ch), (ox, oy, oz), H) in zip(
-                    self.patch_buckets, self.patch_offsets, self.patch_hot
+                for ((_f, _c, _ch), (ox, oy, oz), H, st) in zip(
+                    self.patch_buckets, self.patch_offsets, self.patch_hot,
+                    self._patch_starts(),
                 ):
-                    g = jnp.tensordot(
-                        v, H.astype(dtype), axes=([3], [1]),
-                        precision=HIGHEST,
-                    )
+                    g = self._lanes_to_coarse(v, H, st, dtype, cop.NP)
                     acc_t = acc_t.at[
                         ox : ox + sub, oy : oy + sub, oz : oz + sub, :
                     ].add(g)
-            for (_sr, _fr, H), (dx, dy, dz) in zip(
-                self.id_oct, self.id_oct_offsets
+            for (_sr, _fr, H), (dx, dy, dz), st in zip(
+                self.id_oct, self.id_oct_offsets, self._oct_starts()
             ):
                 w = rt[
                     dx * S_c : dx * S_c + S_c - dx,
@@ -452,9 +495,7 @@ class HybridTransfer:
                     dz * S_c : dz * S_c + S_c - dz,
                     :,
                 ]
-                g = jnp.tensordot(
-                    w, H.astype(dtype), axes=([3], [1]), precision=HIGHEST
-                )
+                g = self._lanes_to_coarse(w, H, st, dtype, cop.NP)
                 acc_t = acc_t.at[dx:, dy:, dz:, :].add(g)
             acc2 = acc_t.reshape(S_c**3, cop.NP).T
         if self.id_bucket is not None or self.irr_patch is not None \
@@ -511,18 +552,16 @@ class HybridTransfer:
             uct = uc2.T.reshape(S_c, S_c, S_c, cop.NP)
             if self.patch_buckets:
                 acc = None
-                for ((_f, _c, _ch), (ox, oy, oz), H) in zip(
-                    self.patch_buckets, self.patch_offsets, self.patch_hot
+                for ((_f, _c, _ch), (ox, oy, oz), H, st) in zip(
+                    self.patch_buckets, self.patch_offsets, self.patch_hot,
+                    self._patch_starts(),
                 ):
                     w = uct[ox : ox + sub, oy : oy + sub, oz : oz + sub, :]
-                    term = jnp.tensordot(
-                        w, H.astype(dtype), axes=([3], [0]),
-                        precision=HIGHEST,
-                    )
+                    term = self._lanes_to_fine(w, H, st, dtype)
                     acc = term if acc is None else acc + term
                 vt = vt + self._interp_lead(acc)
-            for (_sr, _fr, H), (dx, dy, dz) in zip(
-                self.id_oct, self.id_oct_offsets
+            for (_sr, _fr, H), (dx, dy, dz), st in zip(
+                self.id_oct, self.id_oct_offsets, self._oct_starts()
             ):
                 w = uct[dx:, dy:, dz:, :]
                 vt = vt.at[
@@ -530,12 +569,7 @@ class HybridTransfer:
                     dy * S_c : dy * S_c + S_c - dy,
                     dz * S_c : dz * S_c + S_c - dz,
                     :,
-                ].add(
-                    jnp.tensordot(
-                        w, H.astype(dtype), axes=([3], [0]),
-                        precision=HIGHEST,
-                    )
-                )
+                ].add(self._lanes_to_fine(w, H, st, dtype))
         if self.id_bucket is not None or self.irr_patch is not None \
                 or self.irr_id is not None:
             # small extras set patch-major rows: transpose in/out on demand
@@ -583,8 +617,49 @@ jax.tree_util.register_dataclass(
         "patch_buckets", "id_bucket", "id_oct", "irr_patch", "irr_id",
         "single_buckets", "single_fast", "patch_hot", "tsx",
     ],
-    meta_fields=["patch_offsets", "id_oct_offsets", "S_f", "S_c", "sub", "NP_f", "NS_f", "nloc_f", "n_slots_f", "n_slots_c", "D_f", "ls_mode", "use_ttransfer"],
+    meta_fields=["patch_offsets", "id_oct_offsets", "patch_hot_starts", "id_oct_starts", "S_f", "S_c", "sub", "NP_f", "NS_f", "nloc_f", "n_slots_f", "n_slots_c", "D_f", "ls_mode", "use_ttransfer"],
 )
+
+
+def _lane_routing(f_arr, c_arr, np_c, np_f, dtype, budget=4_000_000):
+    """One-hot lane routing c_arr[i] -> f_arr[i], full or banded.
+
+    Returns (hot, starts): a full [np_c, np_f] device matrix with
+    starts=None when np_c*np_f fits the budget; otherwise BANDED per-tile
+    one-hots — fine lanes are cut into tiles of <= 512, and because both
+    patch sequences are Morton-sorted the coarse sources of one tile span
+    a narrow contiguous window [s_j, s_j+W): storage O(np_f * W) instead
+    of O(np_c * np_f), the static-slice + small-GEMM apply stays on the
+    MXU (lane gathers are element-priced — DESIGN.md).  Returns
+    (None, None) when even the band exceeds the budget (the t-path then
+    falls back to the plain-layout transfer)."""
+    if np_c * np_f <= budget:
+        H = np.zeros((np_c, np_f), np.float32)
+        H[c_arr, f_arr] = 1.0
+        return to_device(H, dtype), None
+    tile = 512
+    n_tiles = -(-np_f // tile)
+    # per-tile coarse windows
+    lo = np.full(n_tiles, np_c, np.int64)
+    hi = np.full(n_tiles, -1, np.int64)
+    t_of = f_arr // tile
+    np.minimum.at(lo, t_of, c_arr)
+    np.maximum.at(hi, t_of, c_arr)
+    width = int((hi - lo + 1)[hi >= 0].max()) if (hi >= 0).any() else 1
+    W = min(-(-width // 8) * 8, np_c)
+    if W * np_f > max(budget, 8_000_000):
+        return None, None
+    starts, tiles = [], []
+    for j in range(n_tiles):
+        T_j = min(tile, np_f - j * tile)
+        s = 0 if hi[j] < 0 else min(int(lo[j]), np_c - W)
+        H = np.zeros((W, T_j), np.float32)
+        sel = t_of == j
+        if sel.any():
+            H[c_arr[sel] - s, f_arr[sel] - j * tile] = 1.0
+        starts.append(s)
+        tiles.append(to_device(H, dtype))
+    return tuple(tiles), tuple(starts)
 
 
 def _h_patch_embedding_1d(K: int, degree: int) -> np.ndarray:
@@ -892,7 +967,9 @@ def make_hybrid_transfer(
     # to exactly one coarse copy (the coarse exchange completes the sums).
     id_oct = []
     id_oct_offsets = []
-    hot_ok = coarse_fmt.n_patches * fine_fmt.n_patches <= 4_000_000
+    id_oct_starts = []
+    hot_bound = int(os.environ.get("MGTPU_HOT_BOUND", "4000000"))
+    hot_ok = True  # any id_oct bucket without a routing turns this off
     for o in range(8):
         fi, ci = id_oct_groups[o]
         if not fi:
@@ -904,13 +981,12 @@ def make_hybrid_transfer(
         fine_rows = np.full(coarse_fmt.n_patches, fine_fmt.n_patches, np.int64)
         assert len(np.unique(c_arr)) == len(c_arr), "coarse patch in 2 octants"
         fine_rows[c_arr] = f_arr
-        hot = None
-        if hot_ok:
-            H = np.zeros(
-                (coarse_fmt.n_patches, fine_fmt.n_patches), np.float32
-            )
-            H[c_arr, f_arr] = 1.0
-            hot = to_device(H, dtype)
+        hot, st = _lane_routing(
+            f_arr, c_arr, coarse_fmt.n_patches, fine_fmt.n_patches,
+            dtype, hot_bound,
+        )
+        if hot is None:
+            hot_ok = False
         id_oct.append(
             (
                 to_device(src_rows, jnp.int32),
@@ -918,6 +994,7 @@ def make_hybrid_transfer(
                 hot,
             )
         )
+        id_oct_starts.append(st)
         id_oct_offsets.append((o & 1, (o >> 1) & 1, (o >> 2) & 1))
 
     def child_rows_of(f, c):
@@ -928,19 +1005,26 @@ def make_hybrid_transfer(
         rows[c] = np.arange(len(f))
         return rows
 
-    # one-hot [NP_c, NP_f] routing matrices for the transposed transfer
-    # (bounded: surface-sized tables only)
+    # one-hot [NP_c, NP_f] routing matrices for the transposed transfer:
+    # full below the budget, BANDED per-tile one-hots above it (Morton
+    # order makes the lane map monotone — see _lane_routing)
     patch_hot = ()
-    if (
-        patch_buckets
-        and coarse_fmt.n_patches * fine_fmt.n_patches <= 4_000_000
-    ):
-        hot = []
+    patch_hot_starts = ()
+    if patch_buckets:
+        hots, starts = [], []
         for f, c, off in patch_buckets:
-            H = np.zeros((coarse_fmt.n_patches, fine_fmt.n_patches), np.float32)
-            H[c, f] = 1.0
-            hot.append(to_device(H, dtype))
-        patch_hot = tuple(hot)
+            hot, st = _lane_routing(
+                np.asarray(f, np.int64), np.asarray(c, np.int64),
+                coarse_fmt.n_patches, fine_fmt.n_patches, dtype, hot_bound,
+            )
+            if hot is None:
+                hot_ok = False
+                break
+            hots.append(hot)
+            starts.append(st)
+        else:
+            patch_hot = tuple(hots)
+            patch_hot_starts = tuple(starts)
     from ..utils.flags import variant_flag
 
     use_ttransfer = variant_flag(
@@ -948,7 +1032,7 @@ def make_hybrid_transfer(
         np=fine_fmt.n_patches,
         nc=coarse_fmt.n_patches,
     )
-    if id_oct and not hot_ok:
+    if not hot_ok or (patch_buckets and not patch_hot):
         use_ttransfer = False  # t-path needs the one-hot routing matrices
 
     tsx = None
@@ -990,6 +1074,7 @@ def make_hybrid_transfer(
         id_bucket=id_bucket,
         id_oct=tuple(id_oct),
         id_oct_offsets=tuple(id_oct_offsets),
+        id_oct_starts=tuple(id_oct_starts),
         irr_patch=irr_patch,
         irr_id=irr_id,
         single_buckets=tuple(
@@ -1011,6 +1096,7 @@ def make_hybrid_transfer(
         D_f=fine_fmt.n_shards,
         ls_mode=ls_mode,
         patch_hot=patch_hot,
+        patch_hot_starts=patch_hot_starts,
         use_ttransfer=use_ttransfer,
     )
 

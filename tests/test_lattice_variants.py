@@ -82,6 +82,40 @@ def test_ttransfer_matches_baseline(geom, r, p):
     assert hit, "no transfer with patch buckets exercised"
 
 
+@pytest.mark.parametrize("geom,r,p", [("quadrant", 4, 2), ("quadrant", 5, 3)])
+def test_banded_lane_routing_matches_full(geom, r, p, monkeypatch):
+    """MGTPU_HOT_BOUND=1 forces the BANDED per-tile one-hot routing (the
+    NP >> 128 path that re-enables t-transfers at r=8/p=4, where the full
+    [NP_c, NP_f] matrices blow the 4M budget).  Banded must be bit-exact
+    vs the full routing in both directions, and must actually engage."""
+    from dealii_multigrid_tpu.ops.hybrid_transfer import make_hybrid_transfer
+
+    levels = _levels(geom, r, p, jnp.float64)
+    rng = np.random.default_rng(12)
+    hit = False
+    for lc, lf in zip(levels[:-1], levels[1:]):
+        tr = make_hybrid_transfer(lf.fmt, lc.fmt, lf.op, lc.op, jnp.float64)
+        if not (tr.patch_hot or tr.id_oct):
+            continue
+        monkeypatch.setenv("MGTPU_HOT_BOUND", "1")
+        trb = make_hybrid_transfer(lf.fmt, lc.fmt, lf.op, lc.op, jnp.float64)
+        monkeypatch.delenv("MGTPU_HOT_BOUND")
+        if tr.patch_hot:
+            assert trb.patch_hot_starts and trb.patch_hot_starts[0] is not None
+        tr = dataclasses.replace(tr, use_ttransfer=True)
+        trb = dataclasses.replace(trb, use_ttransfer=True)
+        uc = jnp.asarray(rng.standard_normal(lc.op.n_slots), jnp.float64)
+        rf = jnp.asarray(rng.standard_normal(lf.op.n_slots), jnp.float64)
+        a_p, b_p = np.asarray(tr.prolong(uc)), np.asarray(trb.prolong(uc))
+        np.testing.assert_allclose(b_p, a_p, rtol=0,
+                                   atol=1e-12 * max(np.abs(a_p).max(), 1))
+        a_r, b_r = np.asarray(tr.restrict(rf)), np.asarray(trb.restrict(rf))
+        np.testing.assert_allclose(b_r, a_r, rtol=0,
+                                   atol=1e-12 * max(np.abs(a_r).max(), 1))
+        hit = True
+    assert hit, "no transfer with routing matrices exercised"
+
+
 def test_row_ssweep_matches_lattice_path():
     # force the non-cross branch to compare _ssweep_rows against the
     # lattice sweeps on a level that has singleton neighbours
