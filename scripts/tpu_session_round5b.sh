@@ -1,0 +1,41 @@
+#!/bin/bash
+# Round-5 session part 2 — replaces the tail of tpu_session_round5.sh when
+# wall clock forces triage (launched manually after the weights step).
+# Order = VERDICT value rank: the advisor's genuine host-loop A/B, the
+# hp-amg diverged-row replacement, the Stokes/nsinker TPU rows, the r=8
+# banded-routing probe, the final bench (fresh seed + warm cache for the
+# driver-time run).  Everything budget-limited; all artifacts crash-safe.
+set -x
+export PYTHONPATH=/root/repo:/root/.axon_site
+export MGTPU_THP=1
+cd /root/repo
+mark() { echo "$(date +%H:%M:%S) session5b: $1" >> /tmp/tpu_health.log; }
+
+mark "b1 LS chain vs genuine host loop A/B"
+timeout 2400 python scripts/probe_ls_chain.py 6 4 3 > /tmp/probe_ls_r5.log 2>&1
+
+mark "b2 hp-amg r=6 boomer row (spectral clamp)"
+timeout 1800 python experiments/run_experiment.py parameters_hp_amg 5 6 \
+  --skip-n 13 --budget-s 1500 --isolate \
+  --out results/parameters-hp-amg-trunc-tpu-part3.txt \
+  > /tmp/hpamg_boomer_r5.log 2>&1
+
+mark "b3 stokes/nsinker rows (f64, FGMRES)"
+timeout 2100 python scripts/profile_stokes_tpu.py 3 1e4 3 \
+  > /tmp/stokes_tpu_r5_c4.log 2>&1
+timeout 2100 python scripts/profile_stokes_tpu.py 3 1e6 3 \
+  > /tmp/stokes_tpu_r5_c6.log 2>&1
+
+mark "b4 r=8/p=4 single-chip probe (banded lane routing)"
+timeout 4200 python scripts/probe_r8_solve.py 8 4 > /tmp/probe_r8_r5.log 2>&1
+
+mark "b5 final bench (fresh seed + driver-time warm cache)"
+timeout 2400 python bench.py > /tmp/bench_r5_last.log 2>&1
+
+mark "b6 gaussian l2 rows (if time remains)"
+timeout 2400 python experiments/run_experiment.py small-scaling-gaussian \
+  --max-ref 5 --budget-s 2000 \
+  --out results/small-scaling-gaussian-tpu.txt \
+  > /tmp/sweep_gaussian_r5.log 2>&1
+
+mark "b-done"
