@@ -38,4 +38,10 @@ timeout 2400 python experiments/run_experiment.py small-scaling-gaussian \
   --out results/small-scaling-gaussian-tpu.txt \
   > /tmp/sweep_gaussian_r5.log 2>&1
 
+mark "b7 large_scaling_hp first-ever artifact (refs 4-5, 5 variants each)"
+timeout 2700 python experiments/run_experiment.py large_scaling_hp \
+  --max-ref 5 --budget-s 2400 \
+  --out results/large-scaling-hp-tpu.txt \
+  > /tmp/sweep_lshp_r5.log 2>&1
+
 mark "b-done"
