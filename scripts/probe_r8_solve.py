@@ -67,7 +67,11 @@ def main():
         "setup_time_s": setup_time,
         "n_levels": result.n_levels,
     }
+    row["hot_bound"] = os.environ.get("MGTPU_HOT_BOUND", "")
     print(json.dumps(row), flush=True)
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(here, "results", f"probe-r{r}p{p}.json"), "a") as f:
+        f.write(json.dumps(row) + "\n")
 
 
 if __name__ == "__main__":

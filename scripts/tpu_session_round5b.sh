@@ -27,7 +27,11 @@ timeout 2100 python scripts/profile_stokes_tpu.py 3 1e6 3 \
   > /tmp/stokes_tpu_r5_c6.log 2>&1
 
 mark "b4 r=8/p=4 single-chip probe (banded lane routing)"
-timeout 4200 python scripts/probe_r8_solve.py 8 4 > /tmp/probe_r8_r5.log 2>&1
+# MGTPU_HOT_BOUND=2000000 bands the [512, 4096] finest-pair routing
+# (67 MB / 165 GFLOP full -> ~9 MB / ~24 GFLOP banded); the r=8 HBM
+# shortfall was 658 MB in round 4f, so every volume-adjacent MB counts.
+MGTPU_HOT_BOUND=2000000 timeout 4200 python scripts/probe_r8_solve.py 8 4 \
+  > /tmp/probe_r8_r5.log 2>&1
 
 mark "b5 final bench (fresh seed + driver-time warm cache)"
 timeout 2400 python bench.py > /tmp/bench_r5_last.log 2>&1
