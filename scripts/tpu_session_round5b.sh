@@ -48,4 +48,16 @@ timeout 2700 python experiments/run_experiment.py large_scaling_hp \
   --out results/large-scaling-hp-tpu.txt \
   > /tmp/sweep_lshp_r5.log 2>&1
 
+mark "b8 annulus refresh r<=6 (if time remains)"
+timeout 3000 python experiments/run_experiment.py small-scaling annulus \
+  --max-ref 6 --budget-s 2700 \
+  --out results/small-scaling-annulus-tpu-r5.txt \
+  > /tmp/sweep_annulus_r5.log 2>&1
+
+mark "b9 hypercube refresh r<=5 (if time remains)"
+timeout 2400 python experiments/run_experiment.py small-scaling-hypercube \
+  --max-ref 5 --budget-s 2100 \
+  --out results/small-scaling-hypercube-tpu-r5.txt \
+  > /tmp/sweep_hypercube_r5.log 2>&1
+
 mark "b-done"
