@@ -14,11 +14,8 @@ mark() { echo "$(date +%H:%M:%S) session5b: $1" >> /tmp/tpu_health.log; }
 mark "b1 LS chain vs genuine host loop A/B"
 timeout 2400 python scripts/probe_ls_chain.py 6 4 3 > /tmp/probe_ls_r5.log 2>&1
 
-mark "b2 hp-amg r=6 boomer row (spectral clamp)"
-timeout 1800 python experiments/run_experiment.py parameters_hp_amg 5 6 \
-  --skip-n 13 --budget-s 1500 --isolate \
-  --out results/parameters-hp-amg-trunc-tpu-part3.txt \
-  > /tmp/hpamg_boomer_r5.log 2>&1
+# (b2 hp-amg boomer row: already captured by session part 1 step 3 —
+# results/parameters-hp-amg-trunc-tpu-part3.txt, 8 its converged)
 
 mark "b3 stokes/nsinker rows (f64, FGMRES)"
 timeout 2100 python scripts/profile_stokes_tpu.py 3 1e4 3 \
