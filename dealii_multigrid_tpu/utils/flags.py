@@ -93,9 +93,9 @@ DEFAULT_POLICY: dict[str, str] = {
     # 0.1618 / 42.7 at r=6/p=4, results provably unchanged (masked-freeze
     # + recomputed-residual guard).  CAVEAT (round-4 advisor): that A/B's
     # "host-loop 0.1493 / 46.3" arm popped the env var, which falls back
-    # to this DEFAULT_POLICY — it actually measured chain k0=4 again; the
-    # genuine host-loop row (probe arm now pins "0") was re-measured
-    # round-5: see RESULTS.md.
+    # to this DEFAULT_POLICY — it actually measured chain k0=4 again.  The
+    # GENUINE host loop (probe arm pinning "0", 2026-08-20): 0.2143 s /
+    # 32.3 MDoF/s vs chain k0=3 0.1212 s / 57.0 — chain wins 1.77x.
     "MGTPU_LS_CHAIN": "3",
     # dense-plane structured patch faces in tv mode (one blended strided-slab
     # update / one slab read per (d, side) per round, one-hot patch routing,
