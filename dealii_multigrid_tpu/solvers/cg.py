@@ -12,6 +12,8 @@ from __future__ import annotations
 from functools import partial
 from typing import Callable, NamedTuple
 
+import os
+
 import jax
 import jax.numpy as jnp
 
@@ -272,18 +274,29 @@ def cg_solve_host(
         fop, preconditioner, x, b, jnp.zeros_like(x), rz0, 0, use_op_dot
     )
     x_cur = x
+    # MGTPU_CG_NO_PIPELINE=1 syncs each step before dispatching the next:
+    # the depth-1 pipeline keeps TWO steps' full state live, which is the
+    # difference between fitting and RESOURCE_EXHAUSTED at the r=8/p=4
+    # envelope (138M DoF, ~576 MB/volume — round-5 probe).  Costs the
+    # ~35 ms tunnel round-trip per iteration it exists to hide.
+    no_pipe = os.environ.get("MGTPU_CG_NO_PIPELINE", "") not in ("", "0")
     while res > tol and it < maxiter:
         nxt = (
             _cg_host_step(
                 fop, preconditioner, step[0], step[1], step[2], step[3],
                 it + 1, use_op_dot,
             )
-            if it + 1 < maxiter
+            if (not no_pipe and it + 1 < maxiter)
             else None
         )
         res = float(step[4])  # sync on step it+1 while step it+2 executes
         x_cur = step[0]
         it += 1
+        if no_pipe and res > tol and it < maxiter:
+            nxt = _cg_host_step(
+                fop, preconditioner, step[0], step[1], step[2], step[3],
+                it, use_op_dot,
+            )
         step = nxt
     return CGResult(
         x_cur,
