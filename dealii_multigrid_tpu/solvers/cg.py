@@ -210,8 +210,7 @@ def _cg_host_init(fop, b, use_op_dot):
     return nrm2, jnp.sqrt(nrm2.real)
 
 
-@partial(jax.jit, static_argnames=("use_op_dot",))
-def _cg_host_step(fop, precond, x, r, p, rz, it, use_op_dot):
+def _cg_host_step_impl(fop, precond, x, r, p, rz, it, use_op_dot):
     """One PCG iteration as its own program (one M apply + one A apply,
     deal.II ordering — see cg_solve).  ``it`` masks beta to 0 on the first
     iteration (rz then carries the nonzero ||r0||^2 placeholder)."""
@@ -227,6 +226,20 @@ def _cg_host_step(fop, precond, x, r, p, rz, it, use_op_dot):
     x = x + alpha * p
     r = r - alpha * ap
     return x, r, p, rz_new, jnp.sqrt(dot(r, r).real)
+
+
+_cg_host_step = partial(
+    jax.jit, static_argnames=("use_op_dot",)
+)(_cg_host_step_impl)
+# Donating variant for the sync-per-step (MGTPU_CG_NO_PIPELINE) loop:
+# x/r/p inputs are the PREVIOUS step's outputs and dead after the call, so
+# XLA may alias them — 3 fewer live volumes (~1.7 GB at the r=8/p=4
+# envelope).  NEVER used for the first step (its r input IS the caller's
+# rhs) nor in the pipelined loop (the speculative dispatch would donate
+# buffers the caller still reads at convergence).
+_cg_host_step_donated = partial(
+    jax.jit, static_argnames=("use_op_dot",), donate_argnums=(2, 3, 4)
+)(_cg_host_step_impl)
 
 
 def cg_solve_host(
@@ -293,7 +306,10 @@ def cg_solve_host(
         x_cur = step[0]
         it += 1
         if no_pipe and res > tol and it < maxiter:
-            nxt = _cg_host_step(
+            # inputs are the just-checked step's outputs — dead after this
+            # dispatch, so donate them (x_cur is only read at convergence,
+            # when no further dispatch has consumed it)
+            nxt = _cg_host_step_donated(
                 fop, preconditioner, step[0], step[1], step[2], step[3],
                 it, use_op_dot,
             )
